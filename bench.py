@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {...}, "scaling": {...}}
+
+- headline operator queries run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+  local[$SPARK_GRAFT_CPUS] (default 32)
+- crawl throughput (URLs fetched+deduped/sec, the BASELINE.json metric) runs
+  the full crawl loop on the t2 fixture tier
+- scaling: the same crawl job at local[8] and local[32] (sandbox stand-in
+  for N vs 4N executors; BASELINE.json requires efficiency ≥ 0.8) — run in
+  subprocesses so each gets a fresh JVM. Skipped when SPARK_GRAFT_BENCH_FAST=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_url_traffic",
+    "window_ctr_volume",
+    "window_host_dequeue",
+    "filter_swiss_flags",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "text_token_count",
+    "text_lang_id",
+]
+
+
+def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
+    """URLs fetched+deduped/sec over a full crawl-loop run."""
+    import shutil
+    import tempfile
+
+    from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
+
+    fx = write_fixture_parquet(tier)
+    cat_dir = tempfile.mkdtemp(prefix="ncds_bench_cat_")
+    try:
+        catalog = SnapshotCatalog(cat_dir)
+        cfg = CrawlConfig(iterations=iterations, max_per_host=100, window_ms=100_000)
+        t0 = time.time()
+        summary = run_crawl(spark, catalog, fx, cfg)
+        wall = time.time() - t0
+        total_urls = sum(i["dequeued"] for i in summary["iterations"])
+        return {
+            "tier": tier,
+            "iterations": len(summary["iterations"]),
+            "urls": total_urls,
+            "sec": round(wall, 2),
+            "urls_per_sec": round(total_urls / wall, 2) if wall > 0 else None,
+        }
+    finally:
+        shutil.rmtree(cat_dir, ignore_errors=True)
+
+
+def run_worker(cpus: str) -> dict:
+    """Entry for the scaling subprocess: crawl throughput at local[cpus]."""
+    from nightcrawler_ds_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus)
+    out = crawl_throughput(spark, tier="t2", iterations=2)
+    spark.stop()
+    return out
+
+
+def scaling_runs() -> dict:
+    """Same job, same input, two parallelism levels → scaling efficiency."""
+    results = {}
+    for cpus in ("8", "32"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", cpus],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        results[f"local[{cpus}]"] = json.loads(line)
+    t8 = results["local[8]"].get("urls_per_sec") or 0
+    t32 = results["local[32]"].get("urls_per_sec") or 0
+    eff = (t32 / t8) / 4.0 if t8 else None
+    return {
+        "throughput_local8": t8,
+        "throughput_local32": t32,
+        "speedup_8_to_32": round(t32 / t8, 3) if t8 else None,
+        "efficiency_vs_4x": round(eff, 3) if eff is not None else None,
+        "detail": results,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        print(json.dumps(run_worker(sys.argv[2])))
+        return
+
+    from nightcrawler_ds_pipeline_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(app_name="ncds-bench", cpus=CPUS)
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    crawl = crawl_throughput(spark, tier="t2", iterations=3)
+    total += crawl["sec"]
+
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FAST", "0") != "1":
+        try:
+            scaling = scaling_runs()
+        except Exception as ex:  # never fail the bench line
+            scaling = {"error": str(ex)[:200]}
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + crawl loop (URLs fetched+deduped/sec)",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

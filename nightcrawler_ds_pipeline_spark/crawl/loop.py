@@ -1,0 +1,296 @@
+"""The crawl loop: iterative batch jobs over snapshot tables (north_rule).
+
+Each iteration is one batch job:
+  1. read frontier (committed state only) → not-seen filter (Bloom pre-pass
+     + exact anti-join, `seen.filter_unseen`)
+  2. robots gate + per-host token-bucket priority dequeue (`politeness.dequeue`)
+     → deterministic (priority desc, url_hash asc) crawl order `seq`
+  3. fetch + decode + phash (`fetch.fetch_batch`)
+  4. phash dedup: exact-duplicate images flagged against both the historical
+     results and earlier rows of the same batch
+  5. append results + seen rows + new frontier edges; overwrite the merged
+     Bloom and the remaining frontier
+  6. append per-partition lineage rows LAST — the lineage commit finalizes
+     the iteration; resume replays from the last finalized iteration and
+     ignores any newer uncommitted snapshots (exact resume).
+
+The reference's analogue of this loop is the fixed 11-stage chain in
+cli/full_pipeline.py:84-215 with a JSON checkpoint after every stage and
+file-based resume (cli/extractor.py:63-114); here stage boundaries are
+snapshot commits and the "cache hit suppresses re-fetch" behavior
+(api_caller.py:48-80) is the seen-set membership test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark import schemas
+from nightcrawler_ds_pipeline_spark.crawl import politeness
+from nightcrawler_ds_pipeline_spark.crawl.fetch import fetch_batch
+from nightcrawler_ds_pipeline_spark.crawl.seen import (
+    DEFAULT_NUM_PARTITIONS,
+    build_bloom_partitions,
+    filter_unseen,
+    merge_bloom_tables,
+)
+from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+from nightcrawler_ds_pipeline_spark.functions.urls import with_canonical
+
+# CTR click-share prior for seed priorities — the reference's rank-based
+# traffic model (helpers/analytics/keywords_selection.py:113-134).
+RANK_CLICK_SHARES = [
+    0.33, 0.17, 0.11, 0.08, 0.06, 0.05, 0.04, 0.035, 0.03, 0.025,
+    0.01, 0.01, 0.01, 0.01, 0.01, 0.005, 0.005, 0.0034, 0.0033, 0.0033,
+]
+
+
+@dataclass
+class CrawlConfig:
+    iterations: int = 3
+    window_ms: int = politeness.DEFAULT_WINDOW_MS
+    max_per_host: int = politeness.DEFAULT_MAX_PER_HOST
+    num_salts: int = politeness.DEFAULT_NUM_SALTS
+    bloom_partitions: int = DEFAULT_NUM_PARTITIONS
+    outlink_priority_decay: float = 0.5
+    run_ts: str = "1970-01-01_00-00-00"  # injected, never wall-clock
+    frontier_shuffle_partitions: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+def seed_frontier(serp: DataFrame) -> DataFrame:
+    """Seed the frontier from search-result fixtures (the reference's S1-S4
+    scans): canonicalize, CTR-share × volume priority, dedup by url_hash."""
+    shares = F.array(*[F.lit(s) for s in RANK_CLICK_SHARES])
+    share = F.element_at(shares, F.least(F.col("position"), F.lit(20)))
+    volume = F.greatest(F.coalesce(F.col("keyword_volume"), F.lit(1.0)), F.lit(1.0))
+    seeded = (
+        with_canonical(serp, "url")
+        .withColumn("priority", (share * volume).cast("double"))
+        .withColumn("discovered_iter", F.lit(0).cast("int"))
+        .withColumn("parent_url_hash", F.lit(None).cast("long"))
+    )
+    # one frontier row per canonical url: max priority wins, deterministic
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("priority").desc(), F.col("url").asc()
+    )
+    return (
+        seeded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*FRONTIER_COLS)
+    )
+
+
+def _phash_dedup(fetched: DataFrame, history_phash: DataFrame | None) -> DataFrame:
+    """is_phash_dup: exact phash already in history, or an earlier row (by
+    deterministic seq) of this batch."""
+    w = Window.partitionBy("phash").orderBy(F.col("seq").asc())
+    out = fetched.withColumn(
+        "__batch_dup",
+        F.col("decode_ok") & (F.row_number().over(w) > 1),
+    )
+    if history_phash is not None:
+        hist = history_phash.select(F.col("phash").alias("__hist_phash")).distinct()
+        out = out.join(
+            F.broadcast(hist), out["phash"] == hist["__hist_phash"], "left"
+        ).withColumn(
+            "__hist_dup", F.col("decode_ok") & F.col("__hist_phash").isNotNull()
+        ).drop("__hist_phash")
+    else:
+        out = out.withColumn("__hist_dup", F.lit(False))
+    return out.withColumn(
+        "is_phash_dup", F.coalesce(F.col("__batch_dup") | F.col("__hist_dup"), F.lit(False))
+    ).drop("__batch_dup", "__hist_dup")
+
+
+def committed_iter(catalog: SnapshotCatalog, spark: SparkSession) -> int:
+    """Last finalized iteration = max iter in the lineage table, else -1."""
+    lineage = catalog.read(spark, "lineage")
+    if lineage is None:
+        return -1
+    row = lineage.agg(F.max("iter").alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else -1
+
+
+def run_crawl(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    fixtures_dir: str,
+    config: CrawlConfig | None = None,
+) -> dict:
+    """Run (or resume) the crawl loop against fixture tables.
+
+    Returns a summary dict with per-iteration metrics.
+    """
+    cfg = config or CrawlConfig()
+    serp = spark.read.parquet(f"{fixtures_dir}/serp_results.parquet")
+    responses = spark.read.parquet(f"{fixtures_dir}/fetch_responses.parquet")
+    robots = spark.read.parquet(f"{fixtures_dir}/robots.parquet")
+    images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
+
+    start_iter = committed_iter(catalog, spark) + 1
+    summary: list[dict] = []
+
+    for it in range(start_iter, cfg.iterations):
+        committed = it - 1
+
+        frontier = catalog.read(spark, "frontier", max_iter=committed)
+        if frontier is None:
+            frontier = seed_frontier(serp)
+        seen = catalog.read(spark, "seen", max_iter=committed)
+        bloom = catalog.read(spark, "bloom", max_iter=committed)
+
+        # 1. not-seen filter (Bloom pre-pass, exact anti-join decider)
+        candidates = filter_unseen(
+            spark, frontier, seen, bloom, num_partitions=cfg.bloom_partitions
+        )
+
+        # 2. politeness dequeue (robots gate inside)
+        batch = politeness.dequeue(
+            candidates,
+            robots,
+            window_ms=cfg.window_ms,
+            max_per_host=cfg.max_per_host,
+            num_salts=cfg.num_salts,
+        ).cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            break
+
+        # 3. fetch + decode + phash
+        fetched = fetch_batch(batch, responses, images)
+
+        # 4. phash dedup vs history + within-batch
+        history = catalog.read(spark, "results", max_iter=committed)
+        hist_phash = (
+            history.filter(F.col("decode_ok") & ~F.col("is_phash_dup")).select("phash")
+            if history is not None
+            else None
+        )
+        deduped = _phash_dedup(fetched, hist_phash)
+
+        results = deduped.select(
+            F.lit(it).cast("int").alias("iter"),
+            F.col("seq"),
+            F.col("url"),
+            F.col("canonical_url"),
+            F.col("url_hash"),
+            F.col("host"),
+            F.col("error"),
+            F.col("image_id"),
+            F.col("w"),
+            F.col("h"),
+            F.col("fmt"),
+            F.col("caption"),
+            F.col("phash"),
+            F.col("decode_ok"),
+            F.col("is_phash_dup"),
+        ).cache()
+        n_results = results.count()
+
+        # 5a. new seen rows = everything dequeued this iteration
+        new_seen = batch.select(
+            "url_hash", "canonical_url", F.lit(it).cast("int").alias("seen_iter")
+        )
+
+        # 5b. merged Bloom (overwrite snapshot)
+        new_bloom = build_bloom_partitions(
+            new_seen, num_partitions=cfg.bloom_partitions
+        )
+        merged_bloom = (
+            merge_bloom_tables(bloom, new_bloom) if bloom is not None else new_bloom
+        )
+
+        # 5c. frontier edges from outlinks; remaining = gated - dequeued + new
+        gated = politeness.robots_filter(candidates, robots).select(*FRONTIER_COLS)
+        remaining = gated.join(batch.select("url_hash"), "url_hash", "left_anti")
+
+        outlinks = (
+            deduped.filter(F.col("outlinks").isNotNull())
+            .select(
+                F.col("url_hash").alias("parent_url_hash"),
+                (F.col("priority") * cfg.outlink_priority_decay).alias("priority"),
+                F.explode("outlinks").alias("url"),
+            )
+        )
+        edges = (
+            with_canonical(outlinks, "url")
+            .withColumn("discovered_iter", F.lit(it + 1).cast("int"))
+            .select(*FRONTIER_COLS)
+        )
+        # drop edges already seen/dequeued; dedup within edges deterministically
+        w_edge = Window.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("url").asc()
+        )
+        edges = (
+            edges.withColumn("__rn", F.row_number().over(w_edge))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .join(new_seen.select("url_hash"), "url_hash", "left_anti")
+        )
+        if seen is not None:
+            edges = edges.join(seen.select("url_hash"), "url_hash", "left_anti")
+        edges = edges.join(remaining.select("url_hash"), "url_hash", "left_anti")
+
+        next_frontier = remaining.unionByName(edges.select(*FRONTIER_COLS))
+        if cfg.frontier_shuffle_partitions:
+            next_frontier = next_frontier.repartition(
+                cfg.frontier_shuffle_partitions, "host"
+            )
+
+        # 6. commit snapshots — lineage strictly last (the commit point)
+        meta = {"iter": it}
+        catalog.write(results, "results", mode="append", meta=meta)
+        catalog.write(new_seen, "seen", mode="append", meta=meta)
+        catalog.write(merged_bloom, "bloom", mode="overwrite", meta=meta)
+        catalog.write(next_frontier, "frontier", mode="overwrite", meta=meta)
+
+        n_new_images = results.filter(
+            F.col("decode_ok") & ~F.col("is_phash_dup")
+        ).count()
+        n_errors = results.filter(F.col("error") | ~F.col("decode_ok")).count()
+        metrics = spark.createDataFrame(
+            [
+                (it, "dequeued", n_batch, None),
+                (it, "results", n_results, None),
+                (it, "new_unique_images", n_new_images, None),
+                (it, "errors", n_errors, None),
+            ],
+            schema=schemas.METRICS,
+        )
+        catalog.write(metrics, "metrics", mode="append", meta=meta)
+
+        lineage = (
+            results.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .select(
+                F.lit(it).cast("int").alias("iter"),
+                F.col("partition_id").cast("int"),
+                F.lit("fetch").alias("stage"),
+                F.lit(n_batch).cast("long").alias("rows_in"),
+                F.col("rows_out").cast("long"),
+                F.lit(cfg.run_ts).alias("run_ts"),
+            )
+        )
+        catalog.write(lineage, "lineage", mode="append", meta=meta)  # COMMIT
+
+        summary.append(
+            {
+                "iter": it,
+                "dequeued": n_batch,
+                "results": n_results,
+                "new_unique_images": n_new_images,
+                "errors": n_errors,
+            }
+        )
+        batch.unpersist()
+        results.unpersist()
+
+    return {"start_iter": start_iter, "iterations": summary}

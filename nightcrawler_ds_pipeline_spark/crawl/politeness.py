@@ -1,0 +1,104 @@
+"""Per-host politeness scheduler: robots gate + token-bucket priority dequeue.
+
+north_rule: "per-host politeness scheduler (robots.txt cache + crawl-delay
+token buckets) expressed as a salted groupBy-host priority queue". Reference
+analogue: the strictly sequential one-URL-at-a-time fetch loop
+(s04_zyte.py:74-91 with ``use_concurrency: false``) — the engine's explicit
+per-host budget generalizes that to a cluster.
+
+Mechanics:
+- robots gate: broadcast join frontier ⋈ robots on host; drop URLs whose
+  path starts with any disallow prefix (JVM-side ``exists``/``startswith``).
+- budget: tokens(host) = floor(window_ms / crawl_delay_ms) clamped to
+  [1, max_per_host]; delay 0 → max_per_host.
+- dequeue: top-budget URLs per host by (priority desc, url_hash asc) — a
+  deterministic total order (SURVEY.md §7 hard-point a). Implemented as
+  TWO-PHASE top-K so one hot host can't serialize a shuffle partition
+  (hard-point b): phase 1 ranks within (host, salt) buckets and keeps at
+  most `budget` per bucket; phase 2 re-ranks the ≤ budget×num_salts
+  survivors per host. Budgets are computed on the TRUE host before salting,
+  so splitting never inflates a host's allowance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_WINDOW_MS = 60_000
+DEFAULT_MAX_PER_HOST = 100
+DEFAULT_NUM_SALTS = 8
+DEFAULT_CRAWL_DELAY_MS = 1000
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop URLs disallowed by robots; attach crawl_delay_ms (default for
+    unknown hosts). Robots is small (one row per host) → broadcast join."""
+    r = robots.select("host", "crawl_delay_ms", "disallow_prefixes")
+    joined = frontier.join(F.broadcast(r), "host", "left")
+    path = F.coalesce(F.parse_url(F.col("canonical_url"), F.lit("PATH")), F.lit("/"))
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return (
+        joined.filter(~disallowed)
+        .withColumn(
+            "crawl_delay_ms",
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)),
+        )
+        .drop("disallow_prefixes")
+    )
+
+
+def host_budget_col(window_ms: int, max_per_host: int):
+    """tokens = clamp(floor(window_ms / crawl_delay_ms), 1, max_per_host)."""
+    raw = F.when(F.col("crawl_delay_ms") <= 0, F.lit(max_per_host)).otherwise(
+        F.floor(F.lit(window_ms) / F.col("crawl_delay_ms"))
+    )
+    return F.greatest(F.lit(1), F.least(F.lit(max_per_host), raw)).cast("int")
+
+
+def dequeue(
+    frontier: DataFrame,
+    robots: DataFrame,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    max_per_host: int = DEFAULT_MAX_PER_HOST,
+    num_salts: int = DEFAULT_NUM_SALTS,
+) -> DataFrame:
+    """Politeness-budgeted deterministic dequeue of the next fetch batch.
+
+    Output = frontier columns + crawl_delay_ms, host_budget, seq (global
+    deterministic crawl order within the iteration).
+    """
+    gated = robots_filter(frontier, robots)
+    gated = gated.withColumn("host_budget", host_budget_col(window_ms, max_per_host))
+
+    # phase 1: per-(host, salt) top-budget — spreads hot hosts across tasks
+    salted = gated.withColumn(
+        "__salt", F.pmod(F.col("url_hash"), F.lit(num_salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(
+        F.col("priority").desc(), F.col("url_hash").asc()
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("host_budget"))
+        .drop("__r1", "__salt")
+    )
+
+    # phase 2: exact per-host top-budget over the pruned survivors
+    w2 = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url_hash").asc()
+    )
+    batch = (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("host_budget"))
+        .drop("__r2")
+    )
+
+    # deterministic global crawl order for the (bounded) dequeued batch.
+    # The batch is ≤ hosts × max_per_host rows — orders of magnitude smaller
+    # than the frontier — so a global window here is safe by construction.
+    w_seq = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+    return batch.withColumn("seq", F.row_number().over(w_seq).cast("long"))

@@ -1,0 +1,196 @@
+"""URL-seen set: partitioned Bloom pre-filter + exact anti-join decider.
+
+north_rule: "partitioned Bloom-filter (plus cuckoo-filter fallback) URL-seen
+set keyed by canonicalized-URL xxhash64". Reference analogue: the sha256
+params-keyed response cache (helpers/api/api_caller.py:48-80) — a cache hit
+suppresses the re-fetch; here membership in the seen set suppresses it.
+
+Correctness contract (SURVEY.md §7 hard-point c): the Bloom filter is a
+**shuffle reducer, never the decider**. A Bloom positive is always confirmed
+by an exact ``left_anti`` join against the seen table; a Bloom negative is
+definitely-new and skips the join entirely. At 10^10 URLs the seen table is
+far beyond broadcast range, so the anti-join is a sort-merge shuffle — the
+Bloom pre-pass shrinks its probe side to (true hits + ε·false positives).
+
+Layout: partition p = pmod(url_hash, P); each partition owns an m-bit
+sketch with k hashes derived from the already-uniform xxhash64 key via
+splitmix64 double hashing (public-domain construction). Sketches OR-merge
+across iterations and persist as one binary row per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_NUM_PARTITIONS = 32
+DEFAULT_BITS_PER_PARTITION = 1 << 20  # 128 KiB/partition locally; scale at prod
+DEFAULT_NUM_HASHES = 7
+
+_SPLITMIX_1 = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_2 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (x + _SPLITMIX_1).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_2
+        z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_3
+        return z ^ (z >> np.uint64(31))
+
+
+def _bit_positions(hashes: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing h1 + i*h2 (Kirsch–Mitzenmacher)."""
+    u = hashes.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    i = np.arange(num_hashes, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(num_bits)
+    return pos.astype(np.int64)
+
+
+def build_bloom_partitions(
+    df: DataFrame,
+    key: str = "url_hash",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_bits: int = DEFAULT_BITS_PER_PARTITION,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Build one Bloom sketch per pmod(key, P) partition via applyInPandas."""
+    out_schema = T.StructType(
+        [
+            T.StructField("partition_id", T.IntegerType(), False),
+            T.StructField("num_bits", T.LongType(), False),
+            T.StructField("num_hashes", T.IntegerType(), False),
+            T.StructField("bitset", T.BinaryType(), False),
+            T.StructField("num_items", T.LongType(), False),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["__pid"].iloc[0])
+        keys = pdf[key].to_numpy(dtype=np.int64)
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        pos = _bit_positions(keys, num_bits, num_hashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "num_bits": [num_bits],
+                "num_hashes": [num_hashes],
+                "bitset": [bits.tobytes()],
+                "num_items": [len(keys)],
+            }
+        )
+
+    keyed = df.select(key).withColumn("__pid", F.pmod(F.col(key), F.lit(num_partitions)).cast("int"))
+    return keyed.groupBy("__pid").applyInPandas(build, schema=out_schema)
+
+
+def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two compatible Bloom tables partition-wise (pure Spark agg)."""
+    both = a.unionByName(b)
+    schema = T.StructType(
+        [
+            T.StructField("partition_id", T.IntegerType(), False),
+            T.StructField("num_bits", T.LongType(), False),
+            T.StructField("num_hashes", T.IntegerType(), False),
+            T.StructField("bitset", T.BinaryType(), False),
+            T.StructField("num_items", T.LongType(), False),
+        ]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for raw in pdf["bitset"].values:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "partition_id": [first["partition_id"]],
+                "num_bits": [first["num_bits"]],
+                "num_hashes": [first["num_hashes"]],
+                "bitset": [acc.tobytes()],
+                "num_items": [int(pdf["num_items"].sum())],
+            }
+        )
+
+    return both.groupBy("partition_id").applyInPandas(merge, schema=schema)
+
+
+def bloom_maybe_seen_udf(
+    spark: SparkSession,
+    bloom_df: DataFrame | None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Broadcast the Bloom table → Arrow-batched membership pandas UDF.
+
+    Returns None when no Bloom exists yet (first iteration) — caller skips
+    the pre-filter and goes straight to the exact anti-join.
+    """
+    if bloom_df is None:
+        return None
+    rows = bloom_df.collect()
+    if not rows:
+        return None
+    parts = {
+        int(r["partition_id"]): (
+            np.frombuffer(r["bitset"], dtype=np.uint8),
+            int(r["num_bits"]),
+            int(r["num_hashes"]),
+        )
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(parts)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(url_hash: pd.Series) -> pd.Series:
+        keys = url_hash.to_numpy(dtype=np.int64)
+        pids = np.mod(keys, num_partitions)  # == Spark pmod for positive P
+        out = np.zeros(len(keys), dtype=bool)
+        table = bc.value
+        for pid in np.unique(pids):
+            entry = table.get(int(pid))
+            if entry is None:
+                continue
+            bits, num_bits, num_hashes = entry
+            idx = np.where(pids == pid)[0]
+            pos = _bit_positions(keys[idx], num_bits, num_hashes)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out[idx] = hit.all(axis=1)
+        return pd.Series(out)
+
+    return maybe_seen
+
+
+def filter_unseen(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen_df: DataFrame | None,
+    bloom_df: DataFrame | None,
+    key: str = "url_hash",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> DataFrame:
+    """Exact not-seen filter with Bloom pre-pass (J2, the workhorse join).
+
+    definitely-new rows (Bloom negative) bypass the shuffle; Bloom positives
+    are confirmed exactly via left-anti join. Without a Bloom (or without a
+    seen table) this degrades gracefully to the exact path alone.
+    """
+    if seen_df is None:
+        return candidates
+    maybe = bloom_maybe_seen_udf(spark, bloom_df, num_partitions)
+    seen_keys = seen_df.select(key)
+    if maybe is None:
+        return candidates.join(seen_keys, key, "left_anti")
+    tagged = candidates.withColumn("__maybe_seen", maybe(F.col(key)))
+    fresh = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    suspects = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_new = suspects.join(seen_keys, key, "left_anti")
+    return fresh.unionByName(confirmed_new)

@@ -1,0 +1,223 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+- exact: hash-groupBy on a content digest (scales as one shuffle)
+- MinHash + LSH: shingle → minhash signature → band → bucket-join; banding
+  turns the quadratic all-pairs problem into joins on band keys
+- n-gram Jaccard: token-set explode + pair-join + ratio (bounded corpus)
+- SimHash: 64-bit sign-of-weighted-sum fingerprint (Spark-only; verified in
+  pytest — DuckDB lacks the 64-bit bit ops to mirror it cheaply)
+- embedding cosine near-dup lives in similarity.py
+
+MinHash components are ``min(md5(token || '#seed'))`` — hex strings order
+identically in both engines, so the oracle can verify the exact signatures
+without a shared 64-bit integer hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nightcrawler_ds_pipeline_spark.registry import register
+from nightcrawler_ds_pipeline_spark.operators.sqlfrags import read_table
+
+_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+NUM_MINHASHES = 8
+BAND_SIZE = 2  # → 4 bands
+
+
+# --- exact dedup ------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "content_hash", F.md5(F.encode(F.lower(F.trim("text")), "utf-8"))
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+        .orderBy("content_hash")
+    )
+
+
+# --- MinHash signatures (oracle-checked) -------------------------------------
+def _minhash_sql_cols() -> str:
+    return ", ".join(
+        f"min(md5(w || '#{i}')) AS h{i}" for i in range(NUM_MINHASHES)
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, {_minhash_sql_cols()}
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.col("w"), F.lit(f"#{i}")), "utf-8"))).alias(
+            f"h{i}"
+        )
+        for i in range(NUM_MINHASHES)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+# --- MinHash LSH candidate pairs (band bucket-join) ---------------------------
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, concat(h0, h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band_exprs = []
+    for b in range(NUM_MINHASHES // BAND_SIZE):
+        key = F.concat(*[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+        band_exprs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- n-gram (token-set) Jaccard ----------------------------------------------
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
+      FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- SimHash (Spark-only: verified by pytest, rows-only driver check) ---------
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = np.zeros(len(pdf), dtype=np.int64)
+    for i, text in enumerate(pdf["text"].values):
+        words = set((text or "").lower().split())
+        if not words:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for w in words:
+            h = np.uint64(
+                int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "big")
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        val = 0
+        for b in range(64):
+            if acc[b] > 0:
+                val |= 1 << b
+        if val >= 1 << 63:
+            val -= 1 << 64
+        out[i] = val
+    return pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
+
+
+@register("dedup_simhash")  # no oracle — rows-only check + pytest
+def dedup_simhash(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.mapInPandas(
+            lambda it: (_simhash_batch(pdf) for pdf in it), schema=SIMHASH_SCHEMA
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,117 @@
+"""Multimodal (image-payload) queries — Spark-only driver entries.
+
+These run over the engine's own deterministic fixture tables (the
+BASELINE.json ``input_hint`` shape), generated on first use at the t1 tier.
+They exercise: binary-column decode via mapInPandas, phash dedup (exact +
+hamming-band near-dup), PSNR verification, and the full crawl-loop snapshot.
+No DuckDB oracle exists for these (binary image payloads + pandas UDFs) —
+the driver records rows-only checks; exactness is covered by pytest
+(tests/test_codecs.py, test_crawl_loop.py, test_images_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark.registry import register
+
+
+def _images(spark):
+    from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
+
+    fx = write_fixture_parquet("t1")
+    return spark.read.parquet(f"{fx}/images.parquet")
+
+
+# binary decode via Arrow-batched mapInPandas: (w,h,phash,decode_ok) stats
+@register("image_decode_stats")
+def image_decode_stats(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.image_udfs import decode_images
+
+    decoded = decode_images(_images(spark))
+    return (
+        decoded.groupBy("fmt", "decode_ok")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("decode_ok")
+                    & (F.col("w_decoded") == F.col("w"))
+                    & (F.col("h_decoded") == F.col("h")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dims_match"),
+            F.sum(
+                F.when(F.col("decode_ok") & (F.col("phash_decoded") == F.col("phash")), 1)
+                .otherwise(0)
+            ).alias("n_phash_match"),
+        )
+        .orderBy("fmt", "decode_ok")
+    )
+
+
+# exact phash dedup over the image corpus
+@register("image_phash_dedup")
+def image_phash_dedup(spark, sf_dir):
+    imgs = _images(spark).filter(F.col("phash") != 0)
+    return (
+        imgs.groupBy("phash")
+        .agg(F.count("*").alias("group_size"), F.min("image_id").alias("keep_id"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("phash")
+    )
+
+
+# near-dup via hamming-band self-join: band on the top 16 bits of phash,
+# confirm with bit_count(xor) ≤ 6 — the banded form scales (band equi-join
+# instead of all-pairs).
+@register("image_phash_neardup")
+def image_phash_neardup(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.image_udfs import hamming64_col
+
+    imgs = _images(spark).filter(F.col("phash") != 0)
+    banded = imgs.select(
+        "image_id", "phash", F.shiftright("phash", 48).alias("band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .withColumn("hamming", hamming64_col(F.col("a.phash"), F.col("b.phash")))
+        .filter(F.col("hamming") <= 6)
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# one full crawl iteration snapshot — the flagship loop as a driver query
+@register("crawl_iteration_snapshot")
+def crawl_iteration_snapshot(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
+
+    fx = write_fixture_parquet("t1")
+    tmp = tempfile.mkdtemp(prefix="ncds_q_cat_")
+    try:
+        catalog = SnapshotCatalog(tmp)
+        run_crawl(spark, catalog, fx, CrawlConfig(iterations=1, max_per_host=10))
+        res = catalog.read(spark, "results")
+        out = res.select(
+            "iter", "seq", "canonical_url", "host", "error", "decode_ok",
+            "is_phash_dup",
+        ).orderBy("iter", "seq")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- brute-force cosine top-k (the exactness baseline): JVM-side
+  ``zip_with``/``aggregate`` dot products — no Python in the loop
+- LSH-bucketed ANN (the scale path): random-hyperplane signs → bucket join,
+  so only same-bucket pairs are scored. Spark-only (the hyperplane matrix is
+  a broadcast numpy artifact); exactness vs brute force is checked in pytest
+  via recall, and the driver records a rows-only check.
+- embedding cosine near-dup pairs (dedup by semantic similarity)
+
+Cosines are computed in float64 after an explicit element cast in BOTH
+engines (DuckDB ``CAST(embedding AS DOUBLE[])``), so the sequential
+left-to-right summation yields bit-identical IEEE results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nightcrawler_ds_pipeline_spark.registry import register
+from nightcrawler_ds_pipeline_spark.operators.sqlfrags import read_table
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_COS_DUCK = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+# brute-force cosine top-k for a bounded query set — the ANN ground truth
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_DUCK} AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# embedding-cosine near-duplicate pairs (semantic dedup)
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_DUCK}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300 AND {_COS_DUCK} >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.9)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# LSH-bucketed ANN — the 100TB path: random hyperplane signature buckets the
+# corpus; only same-bucket candidates are scored. Spark-only entry.
+NUM_HYPERPLANES = 8
+EMBED_DIM = 64
+
+
+def _hyperplanes() -> np.ndarray:
+    return np.random.default_rng(42).standard_normal((NUM_HYPERPLANES, EMBED_DIM))
+
+
+@register("sim_ann_lsh")  # no oracle — rows-only; recall vs brute force in pytest
+def sim_ann_lsh(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    planes = spark.sparkContext.broadcast(_hyperplanes())
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.values).astype(np.float64)
+        signs = (mat @ planes.value.T) > 0
+        vals = (signs * (1 << np.arange(NUM_HYPERPLANES))).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+
+    bucketed = emb.withColumn("bucket", bucket(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket"),
+    )
+    pairs = (
+        q.join(c, "bucket")  # bucket equi-join replaces the cross join
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

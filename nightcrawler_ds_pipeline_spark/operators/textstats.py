@@ -1,0 +1,168 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / token
+stats), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. All JVM-side builtin expressions (whole-stage codegen);
+each has a DuckDB oracle computing the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark.registry import register
+from nightcrawler_ds_pipeline_spark.operators.sqlfrags import read_table
+
+_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+# token counting: whitespace tokens + a BPE-ish subword estimate
+# (reference analogue: count_tokens at helpers/utils.py:175-179)
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len({_WORDS_DUCK}) END AS BIGINT) AS n_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+    ).orderBy("doc_id")
+
+
+# language-ID: n-gram/stopword-hit heuristic with a fixed precedence order.
+_LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "qd": ["data", "query", "table", "scan"],
+    "qs": ["spark", "stream", "batch", "window"],
+}
+
+
+def _score_sql(words: list[str], arr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_contains({arr}, '{w}') THEN 1 ELSE 0 END)" for w in words
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_score_sql(_LANG_MARKERS["en"], _WORDS_DUCK)} AS s_en,
+             {_score_sql(_LANG_MARKERS["qd"], _WORDS_DUCK)} AS s_qd,
+             {_score_sql(_LANG_MARKERS["qs"], _WORDS_DUCK)} AS s_qs
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_qd AND s_en >= s_qs THEN 'en'
+                WHEN s_qd >= s_qs THEN 'qd' ELSE 'qs' END AS lang_pred
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+
+    def score(markers):
+        s = F.lit(0)
+        for w in markers:
+            s = s + F.when(F.array_contains(words, w), 1).otherwise(0)
+        return s
+
+    s_en, s_qd, s_qs = (
+        score(_LANG_MARKERS["en"]),
+        score(_LANG_MARKERS["qd"]),
+        score(_LANG_MARKERS["qs"]),
+    )
+    pred = (
+        F.when((s_en >= s_qd) & (s_en >= s_qs), "en")
+        .when(s_qd >= s_qs, "qd")
+        .otherwise("qs")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+# quality scoring: length / mean-word-length / stopword-ratio composite
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars_calc,
+             len({_WORDS_DUCK}) AS n_words,
+             ({_score_sql(_LANG_MARKERS["en"], _WORDS_DUCK)}) AS stop_hits
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           LEAST(n_chars_calc / 500.0, 1.0) * 0.5
+             + LEAST(stop_hits / 4.0, 1.0) * 0.5 AS quality
+    FROM stats ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    stop_hits = F.lit(0)
+    for w in _LANG_MARKERS["en"]:
+        stop_hits = stop_hits + F.when(F.array_contains(words, w), 1).otherwise(0)
+    quality = (
+        F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(stop_hits / 4.0, F.lit(1.0)) * 0.5
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+# document fingerprint: md5 of the normalized text (the SQL-checkable
+# fingerprint; a rolling-hash variant is exercised in pytest).
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.encode(F.lower(F.trim("text")), "utf-8")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# clean_short_text normalization (reference utils.py:162-172) — exercised on
+# document text in both engines.
+@register(
+    "text_clean_short",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(regexp_replace(
+               replace(replace(lower(text), chr(10), ' '), chr(9), ' '),
+               '["'']', '', 'g'), '-', ' '),
+             ' +', ' ', 'g')) AS clean
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_clean_short(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.text import clean_short_text_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_short_text_col("text").alias("clean")).orderBy(
+        "doc_id"
+    )

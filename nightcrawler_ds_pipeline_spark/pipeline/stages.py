@@ -1,0 +1,197 @@
+"""The reference's 11-stage pipeline as pure DataFrame→DataFrame functions.
+
+Stage order mirrors cli/full_pipeline.py:84-215; each stage = monotone
+schema widening (withColumn) + optional filter, so Catalyst fuses the narrow
+stages into one WholeStageCodegen pass. Reference quirks are replicated
+exactly behind ``strict_reference_parity`` (default True):
+
+- P9: ``result_sold_CH`` ignores ``ch_de_in_url`` (the s05:128-133 key-
+  mismatch bug — see operators/filters.py).
+- P13: the keyword blacklist is a NO-OP (the s02:69-74 call site discards
+  the filter's return value).
+- Zyte stage REPLACES the result list — error rows vanish from the pipeline
+  (s04_zyte.py:110-112 + base.py:318-327 replace semantics).
+- stages s06/s08/s09/s10/s11 are pass-throughs that only re-count
+  (s06:12-35, s08:11-34, s09:12-35, s10:11-34, s11:12-36).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark.functions.text import (
+    checksum_uid_col,
+    price_concat_col,
+)
+from nightcrawler_ds_pipeline_spark.operators.filters import (
+    KEYWORD_BLACKLIST,
+    add_swiss_features,
+    contains_any,
+)
+
+
+@dataclass
+class PipelineConfig:
+    country: str = "CH"
+    max_results_per_source: int = 0  # 0 = all (s01:144-146)
+    hard_cap: int = 200  # serp_api.py:98-114
+    page_type_threshold: float = 0.4  # s07:17
+    strict_reference_parity: bool = True
+    stage_counts: dict = field(default_factory=dict)  # numberOfResultsAfterStage
+
+
+def _count(cfg: PipelineConfig, stage: str, df: DataFrame) -> DataFrame:
+    """base.py:323-327 — record numberOfResultsAfterStage per stage."""
+    cfg.stage_counts[stage] = df.count()
+    return df
+
+
+def s01_serp_scan(serp: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """S1-S3: per-source projection, per-source truncation, hard cap.
+
+    Caps apply per (keyword, offer_root) in deterministic position order
+    (the reference truncates each source's URL list, s01:144-148)."""
+    from pyspark.sql import Window
+
+    df = serp.filter(F.col("offer_root") != "REVERSE_IMAGE_SEARCH")
+    w = Window.partitionBy("keyword", "offer_root").orderBy("position")
+    df = df.withColumn("__rn", F.row_number().over(w))
+    if cfg.max_results_per_source > 0:
+        df = df.filter(F.col("__rn") <= cfg.max_results_per_source)
+    df = df.filter(F.col("__rn") <= cfg.hard_cap).drop("__rn")
+    return _count(cfg, "serpapi", df)
+
+
+def s02_keyword_enrichment(serp: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Keyword enrichment aggregate (A1) with the blacklist NO-OP replicated.
+
+    With strict parity the blacklist does nothing (reference discards the
+    filter result, s02:69-74); behind the flag it drops blacklisted rows."""
+    df = serp.filter(F.col("keyword_enriched").isNotNull())
+    if not cfg.strict_reference_parity:
+        df = df.filter(
+            ~contains_any(F.lower(F.col("keyword_enriched")), KEYWORD_BLACKLIST)
+        )
+    agg = df.groupBy("keyword_enriched").agg(
+        F.sum("keyword_volume").alias("keyword_volume"),
+        F.min("keyword_location").alias("keyword_location"),
+        F.min("keyword_language").alias("keyword_language"),
+        F.min("offer_root").alias("offer_root"),
+    )
+    return _count(cfg, "keyword_enrichment", agg)
+
+
+def s04_zyte_fetch(df: DataFrame, responses: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """S6: fetch + product extraction. REPLACE semantics: error rows and
+    unfetched URLs vanish (s04_zyte.py:110-112). price concat per F9; image
+    set-dedup per L7 (array_distinct)."""
+    resp = responses.select(
+        "url",
+        F.col("error"),
+        "product_name",
+        "product_price",
+        "currency_raw",
+        "description",
+        "probability",
+        "main_image_url",
+        "image_urls",
+        "seconds_taken",
+    )
+    joined = df.join(resp, "url", "inner").filter(~F.col("error"))
+    out = (
+        joined.withColumn("title", F.coalesce(F.col("product_name"), F.lit("")))
+        .withColumn("price", price_concat_col("product_price", "currency_raw"))
+        .withColumn("full_description", F.coalesce(F.col("description"), F.lit("")))
+        .withColumn("zyte_probability", F.col("probability"))
+        .withColumn("zyte_execution_time", F.coalesce(F.col("seconds_taken"), F.lit(0.0)))
+        .withColumn(
+            "images",
+            F.array_distinct(
+                F.concat(
+                    F.when(
+                        F.col("main_image_url").isNotNull(),
+                        F.array(F.col("main_image_url")),
+                    ).otherwise(F.array()),
+                    F.coalesce(F.col("image_urls"), F.array()),
+                )
+            ),
+        )
+        .drop("product_name", "product_price", "currency_raw", "description",
+              "probability", "main_image_url", "image_urls", "seconds_taken", "error")
+    )
+    return _count(cfg, "zyte", out)
+
+
+def s05_data_processor(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """P8-P10: swiss feature flags (+bug-parity OR-reduce) + country filter."""
+    flagged = add_swiss_features(df, "url", "price")
+    _count(cfg, "processing_raw", flagged)
+    if cfg.country == "CH":
+        flagged = flagged.filter(F.col("result_sold_CH"))
+    return _count(cfg, "processing_filtered", flagged)
+
+
+def s06_delivery_policy(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return _count(cfg, "delivery_policy", df)  # pass-through (s06:12-35)
+
+
+def s07_page_type(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """P11: pageType threshold — null/0 proba → OTHER (strict >)."""
+    out = df.withColumn(
+        "page_type",
+        F.when(
+            F.coalesce(F.col("zyte_probability"), F.lit(0.0)) > cfg.page_type_threshold,
+            F.lit("ecommerce_product"),
+        ).otherwise(F.lit("other")),
+    )
+    return _count(cfg, "page_type", out)
+
+
+def s08_blocked_content(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return _count(cfg, "blocked_content", df)  # pass-through
+
+
+def s09_content_domain(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return _count(cfg, "content_domain", df)  # pass-through
+
+
+def s10_suspiciousness(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return _count(cfg, "suspiciousness", df)  # pass-through
+
+
+def s11_ranker(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return _count(cfg, "ranker", df)  # pass-through stub (s11:20-36)
+
+
+def db_sink_projection(df: DataFrame) -> DataFrame:
+    """S12: final result projection with uid = checksum(url-before-?_title)
+    (full_pipeline.py:197-215; score hardcoded 0 at line 209)."""
+    return df.select(
+        F.col("url"),
+        F.col("title"),
+        F.col("offer_root").alias("root"),
+        checksum_uid_col("url", "title").alias("uid"),
+        F.lit(0.0).alias("score"),
+        F.col("page_type"),
+        F.col("result_sold_CH"),
+    )
+
+
+def run_text_pipeline(
+    serp: DataFrame, responses: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """E1: the full fullrun chain for a text keyword."""
+    cfg = cfg or PipelineConfig()
+    df = s01_serp_scan(serp, cfg)
+    df = s04_zyte_fetch(df, responses, cfg)
+    df = s05_data_processor(df, cfg)
+    df = s06_delivery_policy(df, cfg)
+    df = s07_page_type(df, cfg)
+    df = s08_blocked_content(df, cfg)
+    df = s09_content_domain(df, cfg)
+    df = s10_suspiciousness(df, cfg)
+    df = s11_ranker(df, cfg)
+    return db_sink_projection(df)

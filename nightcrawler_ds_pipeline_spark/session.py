@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode defaults mirror what we would set on a real multi-executor
+cluster: AQE on (runtime re-plan + skew-join handling), Arrow enabled for
+pandas-UDF batches, UTC session timezone (the DuckDB oracle compares
+timestamps as UTC-naive), and shuffle partitions sized to cores rather than
+the 200 default (wrong at both ends).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "nightcrawler_ds_pipeline_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` may be an int (→ ``local[N]``) or a full master string. Defaults
+    to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = cpus if isinstance(cpus, str) and cpus.startswith(("local", "spark")) else f"local[{cpus}]"
+    if shuffle_partitions is None:
+        env_cpus = str(cpus)
+        shuffle_partitions = (
+            int(env_cpus) if env_cpus.isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # deterministic Python hashing inside UDF workers
+        .config("spark.executorEnv.PYTHONHASHSEED", "0")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,94 @@
+"""Unit tests: snapshot catalog, partitioned Bloom, cuckoo filter."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+from nightcrawler_ds_pipeline_spark.crawl.seen import (
+    build_bloom_partitions,
+    bloom_maybe_seen_udf,
+    filter_unseen,
+    merge_bloom_tables,
+)
+from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog, get_catalog
+
+
+def test_snapshot_append_overwrite_and_iter_filter(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    df1 = spark.range(5).withColumn("v", F.lit("a"))
+    df2 = spark.range(3).withColumn("v", F.lit("b"))
+    cat.write(df1, "t", mode="append", meta={"iter": 0})
+    cat.write(df2, "t", mode="append", meta={"iter": 1})
+    assert cat.read(spark, "t").count() == 8
+    assert cat.read(spark, "t", max_iter=0).count() == 5  # rollback view
+    cat.write(df2, "t", mode="overwrite", meta={"iter": 2})
+    assert cat.read(spark, "t").count() == 3
+    assert cat.read(spark, "t", max_iter=1).count() == 8
+    assert cat.read(spark, "missing") is None
+
+
+def test_iceberg_catalog_is_gated():
+    with pytest.raises(NotImplementedError):
+        get_catalog("/tmp/x", impl="iceberg")
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    keys = spark.range(0, 20_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    bloom = build_bloom_partitions(keys, num_partitions=8)
+    maybe = bloom_maybe_seen_udf(spark, bloom, num_partitions=8)
+    # no false negatives: every inserted key reports maybe-seen
+    inserted = keys.withColumn("m", maybe(F.col("url_hash")))
+    assert inserted.filter(~F.col("m")).count() == 0
+    # low false-positive rate on fresh keys
+    fresh = spark.range(1_000_000, 1_020_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    fp = fresh.withColumn("m", maybe(F.col("url_hash"))).filter(F.col("m")).count()
+    assert fp / 20_000 < 0.01
+
+
+def test_bloom_merge(spark):
+    a = spark.range(0, 1000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    b = spark.range(1000, 2000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    merged = merge_bloom_tables(
+        build_bloom_partitions(a, num_partitions=4),
+        build_bloom_partitions(b, num_partitions=4),
+    )
+    maybe = bloom_maybe_seen_udf(spark, merged, num_partitions=4)
+    both = a.unionByName(b).withColumn("m", maybe(F.col("url_hash")))
+    assert both.filter(~F.col("m")).count() == 0
+
+
+def test_filter_unseen_exactness(spark):
+    # Bloom false positives must NOT drop unseen URLs (exact anti-join decider)
+    all_keys = spark.range(0, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    seen = all_keys.filter(F.col("url_hash") % 2 == 0)
+    bloom = build_bloom_partitions(seen, num_partitions=4, num_bits=1 << 10)  # tiny → many FPs
+    out = filter_unseen(spark, all_keys, seen, bloom, num_partitions=4)
+    expected = all_keys.join(seen, "url_hash", "left_anti")
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0
+
+
+def test_cuckoo_insert_lookup_delete():
+    cf = CuckooFilter(num_buckets=1 << 12)
+    keys = np.random.default_rng(7).integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    for k in keys:
+        assert cf.insert(int(k))
+    assert cf.contains(keys).all()  # no false negatives
+    fresh = np.random.default_rng(8).integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    fp_rate = cf.contains(fresh).mean()
+    assert fp_rate < 0.02
+    # deletion support (the reason cuckoo is the TTL fallback)
+    for k in keys[:1000]:
+        assert cf.delete(int(k))
+    assert cf.contains(keys[1000:]).all()
+    assert cf.contains(keys[:1000]).mean() < 0.05
+    # serialization round-trip
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes(), cf.num_buckets)
+    assert cf2.contains(keys[1000:]).all()

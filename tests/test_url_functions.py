@@ -1,0 +1,62 @@
+"""Golden URL-canonicalization pairs (semantics of reference
+tests/unit/test_url_cleaning.py:4-19) + clean_url + text functions."""
+
+from nightcrawler_ds_pipeline_spark.functions.urls import (
+    canonicalize,
+    clean_url,
+    remove_tracking_parameters,
+)
+from nightcrawler_ds_pipeline_spark.functions.text import (
+    run_uuid,
+    stable_hash_id,
+)
+from nightcrawler_ds_pipeline_spark.pipeline.reference_oracle import checksum_uid
+
+
+def test_remove_tracking_golden_pairs():
+    base = "https://a.ch/some/levels/"
+    url = base + "?srsltid=AfmBOoqCctfdXwRhSCqHCHO3sxdW0PCZaXKHkAUqBwe6PeQClu7nGATWc7s"
+    assert remove_tracking_parameters(base) == base
+    assert remove_tracking_parameters(url) == base
+    assert remove_tracking_parameters(url + "&aa=bb") == base + "?aa=bb"
+    assert remove_tracking_parameters(url + "&aa=bb&utm_source=xx") == base + "?aa=bb"
+    assert (
+        remove_tracking_parameters(url + "&aa=bb&source=xx")
+        == base + "?aa=bb&source=xx"
+    )
+    ebay = "https://www.ebay.ch/some/levels/"
+    assert remove_tracking_parameters(ebay) == ebay
+    assert remove_tracking_parameters(ebay + "?a=b&c=d") == ebay
+
+
+def test_tracking_prefix_families():
+    u = "https://x.com/p?utm_campaign=a&utm_term=b&utm_content=c&utm_medium=d&keep=1"
+    assert canonicalize(u) == "https://x.com/p?keep=1"
+    # prefix match, not equality: utm_source_extra is also stripped
+    assert canonicalize("https://x.com/p?utm_sourcezz=1&k=2") == "https://x.com/p?k=2"
+    # blank values preserved
+    assert canonicalize("https://x.com/p?k=") == "https://x.com/p?k="
+
+
+def test_clean_url_language_segments():
+    assert clean_url("https://x.com/ch-de/p/1?q=2") == "https://x.com/p/1"
+    assert clean_url("https://x.com/en-us/sub/p") == "https://x.com/sub/p"
+    assert clean_url("https://x.com/p/1") == "https://x.com/p/1"
+
+
+def test_stable_hash_id_range_and_determinism():
+    a = stable_hash_id("hello")
+    assert 0 <= a < 10**8
+    assert a == stable_hash_id("hello")
+    assert a != stable_hash_id("hello2")
+
+
+def test_run_uuid_deterministic():
+    u = run_uuid("aspirin", "2024-01-01_00-00-00")
+    assert u == run_uuid("aspirin", "2024-01-01_00-00-00")
+    assert len(u) == 36 and u.count("-") == 4
+
+
+def test_checksum_uid_strips_query():
+    assert checksum_uid("https://a.ch/p?x=1", "T") == checksum_uid("https://a.ch/p", "T")
+    assert checksum_uid("https://a.ch/p", "T") != checksum_uid("https://a.ch/p", "U")
