@@ -74,7 +74,7 @@ def run_worker(cpus: str) -> dict:
     from nightcrawler_ds_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus)
-    out = crawl_throughput(spark, tier="t2", iterations=2)
+    out = crawl_throughput(spark, tier="bench", iterations=2)
     spark.stop()
     return out
 

@@ -26,11 +26,13 @@ from nightcrawler_ds_pipeline_spark.codecs import encode_image, phash64
 
 SEED = 42
 
-# FIXTURES.md §8 scale tiers: rows (serp / frontier-ish images / images)
+# FIXTURES.md §8 scale tiers: rows (serp / images) + host-pool width.
+# The bench tier widens the host pool so politeness budgets don't cap the
+# batch (at 10^10 scale the pool is millions of hosts).
 TIERS = {
-    "t1": {"serp": 200, "images": 500},
-    "t2": {"serp": 2000, "images": 10_000},
-    "bench": {"serp": 20_000, "images": 100_000},
+    "t1": {"serp": 200, "images": 500, "hosts": 50},
+    "t2": {"serp": 2000, "images": 10_000, "hosts": 50},
+    "bench": {"serp": 20_000, "images": 50_000, "hosts": 2000},
 }
 
 _SIZES = [(32, 32), (48, 64), (128, 128)]  # (h, w)
@@ -38,10 +40,15 @@ _NOUNS = ["aspirin", "serum", "lamp", "sneaker", "watch", "cream", "vitamin", "t
 _KEYWORDS = ["aspirin", "vitamin d", "retinol serum", "led lamp", "running shoes"]
 _OFFER_ROOTS = ["GOOGLE", "GOOGLE_SHOPPING", "GOOGLE_SITE", "EBAY"]
 
-# 50-host pool; first two are the hot hosts (~30% of traffic combined).
-_HOSTS = ["www.ebay.ch", "shop-apotheke.ch"] + [
-    f"shop{i:02d}.example{'.ch' if i % 3 == 0 else '.com'}" for i in range(48)
-]
+# host pool; first two are the hot hosts (~30% of traffic combined).
+def host_pool(num_hosts: int = 50) -> list[str]:
+    return ["www.ebay.ch", "shop-apotheke.ch"] + [
+        f"shop{i:02d}.example{'.ch' if i % 3 == 0 else '.com'}"
+        for i in range(num_hosts - 2)
+    ]
+
+
+_HOSTS = host_pool(50)
 
 
 def _base_tile(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
@@ -100,13 +107,14 @@ def gen_images_pdf(n: int, seed: int = SEED) -> pd.DataFrame:
     return pdf
 
 
-def _make_url(rng: np.random.Generator, i: int) -> str:
+def _make_url(rng: np.random.Generator, i: int, hosts: list[str] | None = None) -> str:
+    hosts = hosts or _HOSTS
     # hot-host skew: 2 hosts carry ~30%
     r = rng.random()
     if r < 0.30:
-        host = _HOSTS[int(rng.integers(0, 2))]
+        host = hosts[int(rng.integers(0, 2))]
     else:
-        host = _HOSTS[int(rng.integers(2, len(_HOSTS)))]
+        host = hosts[int(rng.integers(2, len(hosts)))]
     path = f"/p/{_NOUNS[i % len(_NOUNS)]}/{i}"
     url = f"https://{host}{path}"
     q = rng.random()
@@ -122,8 +130,11 @@ def _make_url(rng: np.random.Generator, i: int) -> str:
     return url
 
 
-def gen_serp_results_pdf(n: int, seed: int = SEED) -> pd.DataFrame:
+def gen_serp_results_pdf(
+    n: int, seed: int = SEED, num_hosts: int = 50
+) -> pd.DataFrame:
     """Search-result seed rows (FIXTURES.md §2)."""
+    hosts = host_pool(num_hosts)
     rng = np.random.default_rng(seed + 1)
     rows = []
     per_group: dict[tuple, int] = {}
@@ -139,7 +150,7 @@ def gen_serp_results_pdf(n: int, seed: int = SEED) -> pd.DataFrame:
                 "keyword": kw,
                 "offer_root": "REVERSE_IMAGE_SEARCH" if is_ris else root,
                 "position": np.int32(pos),
-                "url": _make_url(rng, i),
+                "url": _make_url(rng, i, hosts),
                 "image_url": f"https://t.example.com/thumb/{i}.jpg" if is_ris else None,
                 "keyword_enriched": f"{kw} {_NOUNS[i % len(_NOUNS)]}" if is_enriched else None,
                 "keyword_volume": float(rng.integers(0, 5000)) if is_enriched else -1.0,
@@ -182,7 +193,14 @@ def gen_fetch_responses_pdf(
         extra_imgs = [f"img://{image_ids[(j + k) % len(image_ids)]}" for k in (1, 2)]
         image_urls = ([main_img] if rng.random() < 0.30 else []) + extra_imgs
         n_out = int(rng.integers(0, 4))
-        outlinks = [_make_url(rng, j * 7 + k + 1_000_000) for k in range(n_out)]
+        # ~70% of outlinks point back into the corpus (fetchable pages a
+        # real crawl would discover); ~30% are external (error rows).
+        outlinks = []
+        for k in range(n_out):
+            if rng.random() < 0.7:
+                outlinks.append(urls[int(rng.integers(0, len(urls)))])
+            else:
+                outlinks.append(_make_url(rng, j * 7 + k + 1_000_000))
         body = f"<html><body>product {j}</body></html>".encode(
             "windows-1252" if j % 29 == 0 else "utf-8"
         )
@@ -205,12 +223,12 @@ def gen_fetch_responses_pdf(
     return pd.DataFrame(rows)
 
 
-def gen_robots_pdf(seed: int = SEED) -> pd.DataFrame:
+def gen_robots_pdf(seed: int = SEED, num_hosts: int = 50) -> pd.DataFrame:
     """Politeness fixtures for the full host pool (FIXTURES.md §5)."""
     rng = np.random.default_rng(seed + 3)
     delays = [0, 500, 1000, 5000]
     rows = []
-    for k, host in enumerate(_HOSTS):
+    for k, host in enumerate(host_pool(num_hosts)):
         rows.append(
             {
                 "host": host,
@@ -242,9 +260,9 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
     os.makedirs(out, exist_ok=True)
     sizes = TIERS[tier]
     images = gen_images_pdf(sizes["images"])
-    serp = gen_serp_results_pdf(sizes["serp"])
+    serp = gen_serp_results_pdf(sizes["serp"], num_hosts=sizes["hosts"])
     fetch = gen_fetch_responses_pdf(serp, images)
-    robots = gen_robots_pdf()
+    robots = gen_robots_pdf(num_hosts=sizes["hosts"])
     for name, pdf in [
         ("images", images),
         ("serp_results", serp),

@@ -34,6 +34,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         filters,
         multimodal,
+        scans,
         setops,
         similarity,
         textstats,
