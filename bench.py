@@ -70,11 +70,20 @@ def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
 
 
 def run_worker(cpus: str) -> dict:
-    """Entry for the scaling subprocess: crawl throughput at local[cpus]."""
+    """Scaling subprocess: the steady-state crawl mega-batch (all hot
+    kernels: canonicalize → bloom → anti-join → dequeue → decode → phash)
+    at local[cpus]. One warmup pass (JIT + page cache) then the measured
+    run — identical input at every parallelism level."""
+    import os
+
+    from nightcrawler_ds_pipeline_spark.crawl.scaling import run_scaling_workload
     from nightcrawler_ds_pipeline_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    n = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "2000000"))
     spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus)
-    out = crawl_throughput(spark, tier="bench", iterations=2)
+    run_scaling_workload(spark, n_urls=max(100_000, n // 10))  # JIT warmup
+    out = run_scaling_workload(spark, n_urls=n)
     spark.stop()
     return out
 
@@ -93,12 +102,27 @@ def scaling_runs() -> dict:
         results[f"local[{cpus}]"] = json.loads(line)
     t8 = results["local[8]"].get("urls_per_sec") or 0
     t32 = results["local[32]"].get("urls_per_sec") or 0
-    eff = (t32 / t8) / 4.0 if t8 else None
+    # N → 4N cores on identical input; efficiency = speedup / 4 (target ≥0.8)
+    speedup = (t32 / t8) if t8 else None
+    eff = speedup / 4.0 if speedup else None
+    # single-box hardware ceiling: same kernel under plain multiprocessing.
+    # One box can't add memory bandwidth with cores the way a cluster adds
+    # machines; spark_layer_efficiency = how much of the box's achievable
+    # scaling the engine captures (the number that transfers to N→4N nodes).
+    from nightcrawler_ds_pipeline_spark.crawl.scaling import hw_ceiling_probe
+
+    hw = hw_ceiling_probe((8, 32))
+    hw_speedup = hw[32] / hw[8] if hw.get(8) else None
     return {
         "throughput_local8": t8,
         "throughput_local32": t32,
-        "speedup_8_to_32": round(t32 / t8, 3) if t8 else None,
+        "speedup_8_to_32": round(speedup, 3) if speedup else None,
         "efficiency_vs_4x": round(eff, 3) if eff is not None else None,
+        "hw_ceiling_units_per_sec": hw,
+        "hw_speedup_8_to_32": round(hw_speedup, 3) if hw_speedup else None,
+        "spark_layer_efficiency": (
+            round(speedup / hw_speedup, 3) if speedup and hw_speedup else None
+        ),
         "detail": results,
     }
 

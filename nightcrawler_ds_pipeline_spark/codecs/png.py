@@ -92,6 +92,10 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
     scan = raw[:, 1:].copy()
+    # fast path: all scanlines filter 0 (what our encoder emits) — pure
+    # reshape, no per-scanline Python loop (hot path for the decode UDF)
+    if not filters.any():
+        return scan.reshape(h, w, c)
     out = np.zeros((h, w * c), dtype=np.uint8)
     bpp = c  # bytes per pixel at depth 8
     for y in range(h):

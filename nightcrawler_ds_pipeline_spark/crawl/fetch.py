@@ -39,7 +39,10 @@ def fetch_batch(
         "outlinks",
         "seconds_taken",
     )
-    joined = batch.hint("broadcast").join(resp, "url", "left")
+    # left join keeps every dequeued row (missing response → error row);
+    # only the right side could broadcast and it's the big one, so this is
+    # a shuffle join by construction — AQE sizes it.
+    joined = batch.join(resp, "url", "left")
     joined = joined.withColumn(
         "error", F.coalesce(F.col("fetch_error"), F.lit(True))
     ).drop("fetch_error")
@@ -53,25 +56,27 @@ def fetch_batch(
         ),
     )
 
-    img = images.select(
-        F.col("image_id"),
-        F.col("bytes"),
-        F.col("fmt"),
-        F.col("caption"),
-        F.col("phash").alias("phash_stored"),
-        F.col("w").alias("w_stored"),
-        F.col("h").alias("h_stored"),
-    )
-    with_bytes = joined.join(img, "image_id", "left")
+    # Decode each DISTINCT image once, at the scan — the binary payload
+    # never enters a shuffle. Joining bytes onto the batch first was
+    # measured at 3× the whole stage cost (4 GB of bytes through the join
+    # shuffle + repartition + Arrow). Instead:
+    #   batch keys (small) --broadcast semi-join--> images scan (narrow)
+    #   → decode (bytes cross Arrow once) → tiny (image_id, w, h, phash)
+    #   result joins back to the batch.
+    keys = joined.select("image_id").filter(F.col("image_id").isNotNull()).distinct()
+    needed = images.join(F.broadcast(keys), "image_id", "left_semi")
+    decoded = decode_images(needed.select("image_id", "bytes"))
 
-    decoded = decode_images(with_bytes, bytes_col="bytes")
-    # Final row shape: keep decoded truth; drop the heavy binary column
-    # immediately after decode so it never enters a shuffle (SURVEY.md §4
-    # column-pruning note).
-    return (
-        decoded.drop("bytes")
-        .withColumnsRenamed(
-            {"w_decoded": "w", "h_decoded": "h", "phash_decoded": "phash"}
-        )
-        .withColumn("caption", F.col("caption"))
+    meta = images.select("image_id", "fmt", "caption")
+    dec_meta = decoded.join(meta, "image_id", "left").select(
+        "image_id",
+        F.col("w_decoded").alias("w"),
+        F.col("h_decoded").alias("h"),
+        F.col("phash_decoded").alias("phash"),
+        F.col("decode_ok"),
+        "fmt",
+        "caption",
     )
+    return joined.join(dec_meta, "image_id", "left").withColumn(
+        "decode_ok", F.coalesce(F.col("decode_ok"), F.lit(False))
+    ).withColumn("phash", F.coalesce(F.col("phash"), F.lit(0)))

@@ -156,13 +156,17 @@ def run_crawl(
             spark, frontier, seen, bloom, num_partitions=cfg.bloom_partitions
         ).cache()
 
-        # 2. politeness dequeue (robots gate inside)
+        # 2. politeness dequeue (robots gate inside); budgets come from the
+        # persisted crawl-delay token buckets (north_rule) — unspent time
+        # rolls over, so skipped slow hosts catch up in later iterations
+        bucket_state = catalog.read(spark, "politeness", max_iter=committed)
         batch = politeness.dequeue(
             candidates,
             robots,
             window_ms=cfg.window_ms,
             max_per_host=cfg.max_per_host,
             num_salts=cfg.num_salts,
+            bucket_state=bucket_state,
         ).cache()
         n_batch = batch.count()
         if n_batch == 0:
@@ -253,8 +257,17 @@ def run_crawl(
                 cfg.frontier_shuffle_partitions, "host"
             )
 
+        # 5d. token-bucket accounting for the next iteration
+        gated_hosts = politeness.robots_filter(candidates, robots).select(
+            "host", "crawl_delay_ms"
+        )
+        new_buckets = politeness.next_bucket_state(
+            gated_hosts, batch, bucket_state, window_ms=cfg.window_ms
+        )
+
         # 6. commit snapshots — lineage strictly last (the commit point)
         meta = {"iter": it}
+        catalog.write(new_buckets, "politeness", mode="overwrite", meta=meta)
         catalog.write(results, "results", mode="append", meta=meta)
         catalog.write(new_seen, "seen", mode="append", meta=meta)
         catalog.write(merged_bloom, "bloom", mode="overwrite", meta=meta)

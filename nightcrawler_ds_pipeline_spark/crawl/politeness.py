@@ -65,14 +65,38 @@ def dequeue(
     window_ms: int = DEFAULT_WINDOW_MS,
     max_per_host: int = DEFAULT_MAX_PER_HOST,
     num_salts: int = DEFAULT_NUM_SALTS,
+    bucket_state: DataFrame | None = None,
 ) -> DataFrame:
     """Politeness-budgeted deterministic dequeue of the next fetch batch.
 
     Output = frontier columns + crawl_delay_ms, host_budget, seq (global
     deterministic crawl order within the iteration).
+
+    With ``bucket_state`` (host, tokens_ms — persisted between iterations),
+    budgets come from the accrued token level: available = min(cap,
+    tokens + window); budget = floor(available / delay). Unspent time rolls
+    over (capped at 2 windows), so a slow host skipped this iteration can
+    catch up next — a real token bucket, not a per-iteration allowance.
     """
     gated = robots_filter(frontier, robots)
-    gated = gated.withColumn("host_budget", host_budget_col(window_ms, max_per_host))
+    if bucket_state is not None:
+        state = bucket_state.select("host", "tokens_ms")
+        gated = gated.join(F.broadcast(state), "host", "left")
+        available = F.least(
+            F.lit(2 * window_ms),
+            F.coalesce(F.col("tokens_ms"), F.lit(0)) + F.lit(window_ms),
+        )
+        raw = F.when(F.col("crawl_delay_ms") <= 0, F.lit(max_per_host)).otherwise(
+            F.floor(available / F.col("crawl_delay_ms"))
+        )
+        gated = gated.withColumn(
+            "host_budget",
+            F.greatest(F.lit(0), F.least(F.lit(max_per_host), raw)).cast("int"),
+        ).drop("tokens_ms")
+    else:
+        gated = gated.withColumn(
+            "host_budget", host_budget_col(window_ms, max_per_host)
+        )
 
     # phase 1: per-(host, salt) top-budget — spreads hot hosts across tasks
     salted = gated.withColumn(
@@ -102,3 +126,45 @@ def dequeue(
     # than the frontier — so a global window here is safe by construction.
     w_seq = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
     return batch.withColumn("seq", F.row_number().over(w_seq).cast("long"))
+
+
+def next_bucket_state(
+    gated_hosts: DataFrame,
+    batch: DataFrame,
+    bucket_state: DataFrame | None,
+    window_ms: int = DEFAULT_WINDOW_MS,
+) -> DataFrame:
+    """Token accounting after a dequeue: for every host present this
+    iteration, new tokens = min(cap, old + window) − dequeued × delay.
+
+    ``gated_hosts`` = (host, crawl_delay_ms) distinct, from the robots-gated
+    candidates; hosts not seen this iteration keep their stored level (they
+    re-enter via the left join next time they appear)."""
+    spent = batch.groupBy("host").agg(F.count("*").alias("n_dequeued"))
+    hosts = gated_hosts.select("host", "crawl_delay_ms").distinct()
+    if bucket_state is not None:
+        hosts = hosts.join(bucket_state.select("host", "tokens_ms"), "host", "left")
+    else:
+        hosts = hosts.withColumn("tokens_ms", F.lit(None).cast("long"))
+    available = F.least(
+        F.lit(2 * window_ms), F.coalesce(F.col("tokens_ms"), F.lit(0)) + F.lit(window_ms)
+    )
+    new_state = (
+        hosts.join(spent, "host", "left")
+        .withColumn(
+            "tokens_ms",
+            (
+                available
+                - F.coalesce(F.col("n_dequeued"), F.lit(0))
+                * F.greatest(F.col("crawl_delay_ms"), F.lit(0))
+            ).cast("long"),
+        )
+        .select("host", "tokens_ms")
+    )
+    if bucket_state is not None:
+        # carry forward hosts absent from this iteration's frontier
+        absent = bucket_state.select("host", "tokens_ms").join(
+            new_state.select("host"), "host", "left_anti"
+        )
+        new_state = new_state.unionByName(absent)
+    return new_state

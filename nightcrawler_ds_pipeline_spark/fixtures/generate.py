@@ -269,8 +269,14 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
         ("fetch_responses", fetch),
         ("robots", robots),
     ]:
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                       os.path.join(out, f"{name}.parquet"))
+        # small row groups: a single-row-group file is ONE Spark input split
+        # no matter how large (measured: a 960 MB one-group images file made
+        # every scan single-task); 2048-row groups give splittable scans.
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(out, f"{name}.parquet"),
+            row_group_size=2048,
+        )
     with open(marker, "w") as f:
         f.write("ok\n")
     return out

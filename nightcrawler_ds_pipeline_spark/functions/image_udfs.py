@@ -37,7 +37,10 @@ def _decode_batch(pdf: pd.DataFrame, bytes_col: str) -> pd.DataFrame:
         h[i], w[i] = px.shape[0], px.shape[1]
         ph[i] = phash64(px)
         ok[i] = True
-    out = pdf.copy()
+    # drop the binary column from the OUTPUT: the payload must never ship
+    # Python→JVM again (measured: 4 GB/210k rows — the round-trip was the
+    # whole stage cost, not the codec)
+    out = pdf.drop(columns=[bytes_col])
     out["w_decoded"] = w
     out["h_decoded"] = h
     out["phash_decoded"] = ph
@@ -45,10 +48,23 @@ def _decode_batch(pdf: pd.DataFrame, bytes_col: str) -> pd.DataFrame:
     return out
 
 
-def decode_images(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Append (w_decoded, h_decoded, phash_decoded, decode_ok) via mapInPandas."""
+def decode_images(
+    df: DataFrame, bytes_col: str = "bytes", parallelism: int | None = None
+) -> DataFrame:
+    """bytes → (w_decoded, h_decoded, phash_decoded, decode_ok) via
+    mapInPandas. The output schema EXCLUDES the binary column — the payload
+    crosses the Arrow boundary exactly once (JVM→Python), never back.
+
+    Decode is the CPU-heavy stage of the crawl loop; AQE sizes partitions
+    for shuffle bytes, under-parallelizing a compute-bound Python stage —
+    so repartition to the session parallelism first (round-robin)."""
+    spark = df.sparkSession
+    n = parallelism or spark.sparkContext.defaultParallelism
+    df = df.repartition(n)
     schema_str = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != bytes_col
     )
     out_schema = f"{schema_str}, {DECODE_COLS}"
 

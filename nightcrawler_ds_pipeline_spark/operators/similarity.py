@@ -115,14 +115,19 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
-# LSH-bucketed ANN — the 100TB path: random hyperplane signature buckets the
-# corpus; only same-bucket candidates are scored. Spark-only entry.
-NUM_HYPERPLANES = 8
+# LSH-bucketed ANN — the 100TB path: multi-table random-hyperplane LSH.
+# L independent tables of K hyperplanes each; a pair is a candidate if it
+# collides in ANY table (union → recall compounds across tables while each
+# join stays a cheap equi-join on (table, bucket) — never a cross join).
+NUM_TABLES = 16
+PLANES_PER_TABLE = 6
 EMBED_DIM = 64
 
 
 def _hyperplanes() -> np.ndarray:
-    return np.random.default_rng(42).standard_normal((NUM_HYPERPLANES, EMBED_DIM))
+    return np.random.default_rng(42).standard_normal(
+        (NUM_TABLES, PLANES_PER_TABLE, EMBED_DIM)
+    )
 
 
 @register("sim_ann_lsh")  # no oracle — rows-only; recall vs brute force in pytest
@@ -130,14 +135,18 @@ def sim_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     planes = spark.sparkContext.broadcast(_hyperplanes())
 
-    @F.pandas_udf(T.IntegerType())
-    def bucket(embs: pd.Series) -> pd.Series:
-        mat = np.vstack(embs.values).astype(np.float64)
-        signs = (mat @ planes.value.T) > 0
-        vals = (signs * (1 << np.arange(NUM_HYPERPLANES))).sum(axis=1)
-        return pd.Series(vals.astype(np.int32))
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.values).astype(np.float64)  # (n, d)
+        p = planes.value  # (L, K, d)
+        signs = np.einsum("nd,lkd->nlk", mat, p) > 0  # (n, L, K)
+        weights = 1 << np.arange(PLANES_PER_TABLE)
+        vals = (signs * weights).sum(axis=2)  # (n, L)
+        # disambiguate tables: bucket id = table*2^K + local bucket
+        vals = vals + (np.arange(NUM_TABLES) << PLANES_PER_TABLE)
+        return pd.Series(list(vals.astype(np.int32)))
 
-    bucketed = emb.withColumn("bucket", bucket(F.col("embedding")))
+    bucketed = emb.withColumn("bucket", F.explode(buckets(F.col("embedding"))))
     q = bucketed.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -148,12 +157,14 @@ def sim_ann_lsh(spark, sf_dir):
         F.col("embedding").alias("ce"),
         F.col("bucket"),
     )
-    pairs = (
-        q.join(c, "bucket")  # bucket equi-join replaces the cross join
+    cand = (
+        q.join(c, "bucket")  # equi-join on (table ⊕ bucket), never cross
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos", _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
-        )
+        .select("query_id", "qe", "neighbor_id", "ce")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+    )
+    pairs = cand.withColumn(
+        "cos", _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
