@@ -73,15 +73,21 @@ def setop_union_distinct(spark, sf_dir):
     FROM (
       SELECT l_orderkey, l_linenumber, l_partkey,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber) AS rn
+                                ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                         l_extendedprice) AS rn
       FROM lineitem
     ) WHERE rn = 1
     ORDER BY l_orderkey
     """,
 )
 def setop_dedup_keep_first(spark, sf_dir):
+    # NB (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
+    # keep=first needs a TOTAL order or the kept row is nondeterministic
+    # (SURVEY §7 hard-point a); the 5-column key is verified unique.
     li = read_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
     return (
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -34,7 +34,8 @@ _SHARES_SQL_ROWS = ", ".join(
     ranked AS (
       SELECT l_orderkey, l_linenumber, l_quantity,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber) AS pos
+                                ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                         l_extendedprice) AS pos
       FROM lineitem
     )
     SELECT r.l_orderkey, CAST(r.pos AS BIGINT) AS pos,
@@ -49,9 +50,16 @@ def window_ctr_volume(spark, sf_dir):
     shares = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(RANK_CLICK_SHARES)], ["pos", "share"]
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # total order: (l_orderkey, l_linenumber) alone is not unique in the
+    # driver testdata — extend the order to a verified-unique key
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
     ranked = (
-        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_partkey",
+            "l_suppkey", "l_extendedprice"
+        )
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= 20)
     )
@@ -144,7 +152,7 @@ def window_global_rank(spark, sf_dir):
       SELECT l_suppkey, l_orderkey, l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l_suppkey
                                 ORDER BY l_extendedprice DESC, l_orderkey,
-                                         l_linenumber) AS rk
+                                         l_linenumber, l_partkey) AS rk
       FROM lineitem
     ) WHERE rk <= 3
     ORDER BY l_suppkey, rk
@@ -153,7 +161,8 @@ def window_global_rank(spark, sf_dir):
 def window_topk_per_group(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"),
+        F.col("l_linenumber"), F.col("l_partkey")
     )
     return (
         li.withColumn("rk", F.row_number().over(w).cast("long"))

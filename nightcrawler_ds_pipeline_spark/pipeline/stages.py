@@ -180,12 +180,10 @@ def db_sink_projection(df: DataFrame) -> DataFrame:
     )
 
 
-def run_text_pipeline(
-    serp: DataFrame, responses: DataFrame, cfg: PipelineConfig | None = None
-) -> DataFrame:
-    """E1: the full fullrun chain for a text keyword."""
-    cfg = cfg or PipelineConfig()
-    df = s01_serp_scan(serp, cfg)
+def _tail_chain(df: DataFrame, responses: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Stages s04→s11 + sink — shared by the text/url/image entry points
+    (the reference runs the identical chain after seeding,
+    full_pipeline.py:99-215)."""
     df = s04_zyte_fetch(df, responses, cfg)
     df = s05_data_processor(df, cfg)
     df = s06_delivery_policy(df, cfg)
@@ -195,3 +193,42 @@ def run_text_pipeline(
     df = s10_suspiciousness(df, cfg)
     df = s11_ranker(df, cfg)
     return db_sink_projection(df)
+
+
+def run_text_pipeline(
+    serp: DataFrame, responses: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """E1 (text keyword): the full fullrun chain."""
+    cfg = cfg or PipelineConfig()
+    return _tail_chain(s01_serp_scan(serp, cfg), responses, cfg)
+
+
+def run_image_pipeline(
+    serp: DataFrame, responses: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """E1 (image input): reverse-image-search seeds — rows must carry a
+    thumbnail (P7, s03:161) — then the same chain (full_pipeline.py:131-150)."""
+    cfg = cfg or PipelineConfig()
+    seeds = serp.filter(
+        (F.col("offer_root") == "REVERSE_IMAGE_SEARCH")
+        & F.col("image_url").isNotNull()
+    )
+    _count(cfg, "reverse_image_search", seeds)
+    return _tail_chain(seeds, responses, cfg)
+
+
+def run_url_pipeline(
+    spark, url: str, keyword: str, responses: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """E1 (url input): synthesize a 1-row seed (full_pipeline.py:104-113)
+    then the same chain."""
+    cfg = cfg or PipelineConfig()
+    seed = spark.createDataFrame(
+        [(keyword, "DEFAULT", 1, url, None, None, -1.0, None, None)],
+        "keyword string, offer_root string, position int, url string, "
+        "image_url string, keyword_enriched string, keyword_volume double, "
+        "keyword_language string, keyword_location string",
+    )
+    _count(cfg, "url_seed", seed)
+    return _tail_chain(seed, responses, cfg)

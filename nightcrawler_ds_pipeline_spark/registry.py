@@ -34,6 +34,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         filters,
         multimodal,
+        pipelines,
         scans,
         setops,
         similarity,

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from nightcrawler_ds_pipeline_spark.codecs import (
+    decode_image,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+)
+from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+from nightcrawler_ds_pipeline_spark.functions.urls import (
+    canonicalize,
+    remove_tracking_parameters,
+)
+
+_url_path = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789/-_.", min_size=0, max_size=30
+)
+_param = st.tuples(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=12),
+)
+
+
+@given(
+    host=st.sampled_from(["a.ch", "www.ebay.ch", "shop.example.com"]),
+    path=_url_path,
+    params=st.lists(_param, max_size=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(host, path, params):
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"https://{host}/{path}" + (f"?{q}" if q else "")
+    once = canonicalize(url)
+    assert canonicalize(once) == once  # idempotency — the seen-key contract
+    # no tracking param survives
+    assert "srsltid=" not in once and "utm_" not in once.split("?")[-1] if "?" in once else True
+
+
+@given(params=st.lists(_param, min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_ebay_strips_everything(params):
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"https://www.ebay.ch/itm/x?{q}"
+    assert remove_tracking_parameters(url) == "https://www.ebay.ch/itm/x"
+
+
+@given(
+    h=st.integers(min_value=4, max_value=64),
+    w=st.integers(min_value=4, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_image(px, "png")), px)
+
+
+@given(
+    h=st.integers(min_value=8, max_value=64),
+    w=st.integers(min_value=8, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_lossy_psnr_property(h, w, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    out = decode_image(encode_image(px, "jpg"))
+    assert psnr(px, out) >= 40.0  # BASELINE gate holds for ALL inputs
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_phash_stable_under_lossy(seed):
+    px = np.random.default_rng(seed).integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    a = phash64(px)
+    b = phash64(decode_image(encode_image(px, "jpg")))
+    assert hamming64(a, b) <= 6
+
+
+@given(keys=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+                     max_size=300, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_cuckoo_no_false_negatives(keys):
+    cf = CuckooFilter(num_buckets=1 << 10)
+    inserted = [k for k in keys if cf.insert(int(k))]
+    assert cf.contains(np.array(inserted, dtype=np.int64)).all()
