@@ -153,6 +153,9 @@ def main() -> None:
 
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_FAST", "0") != "1":
+        # the scaling subprocesses need the whole box: stop this session's
+        # JVM first so its heap/GC doesn't pollute the measurement
+        spark.stop()
         try:
             scaling = scaling_runs()
         except Exception as ex:  # never fail the bench line

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl loop (north_rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Local sandbox:
+    spark-submit --master 'local[32]' \
+        --py-files <(cd /root/repo && zip -r - nightcrawler_ds_pipeline_spark) \
+        jobs/run_crawl_job.py --fixtures /tmp/ncds_fixtures/t2 \
+        --catalog /tmp/crawl_state --iterations 3
+
+Cluster: same invocation with --master spark://... / yarn / k8s; the state
+catalog root moves to a shared filesystem (or the Iceberg catalog impl once
+its jars are on the classpath). Resume is automatic: re-running with the
+same --catalog continues after the last lineage-committed iteration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="nightcrawler-ds-pipeline-spark crawl")
+    ap.add_argument("--fixtures", required=False, default=None,
+                    help="fixture dir (serp/fetch/robots/images parquet); "
+                         "default: generate tier t2 under /tmp")
+    ap.add_argument("--catalog", required=True, help="state catalog root dir")
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--window-ms", type=int, default=60_000)
+    ap.add_argument("--max-per-host", type=int, default=100)
+    ap.add_argument("--num-salts", type=int, default=8)
+    ap.add_argument("--run-ts", default="1970-01-01_00-00-00",
+                    help="injected run timestamp (never wall-clock)")
+    args = ap.parse_args()
+
+    from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.session import get_spark
+
+    fixtures = args.fixtures
+    if fixtures is None:
+        from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
+
+        fixtures = write_fixture_parquet("t2")
+
+    spark = get_spark(app_name="ncds-crawl-job")
+    catalog = SnapshotCatalog(args.catalog)
+    cfg = CrawlConfig(
+        iterations=args.iterations,
+        window_ms=args.window_ms,
+        max_per_host=args.max_per_host,
+        num_salts=args.num_salts,
+        run_ts=args.run_ts,
+    )
+    summary = run_crawl(spark, catalog, fixtures, cfg)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

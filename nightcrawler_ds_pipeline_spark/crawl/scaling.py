@@ -124,13 +124,15 @@ def hw_ceiling_probe(levels: tuple[int, ...] = (8, 32)) -> dict:
 
     out = {}
     for n in levels:
-        units = n * 12
+        units = n * 24
+        best = 0.0
         with mp.Pool(n) as p:
             p.map(_probe_unit, range(n))  # warm the pool
-            t0 = time.time()
-            p.map(_probe_unit, range(units))
-            dt = time.time() - t0
-        out[n] = round(units / dt, 2)
+            for _ in range(2):  # best-of-2 to damp scheduler noise
+                t0 = time.time()
+                p.map(_probe_unit, range(units))
+                best = max(best, units / (time.time() - t0))
+        out[n] = round(best, 2)
     return out
 
 

@@ -180,6 +180,67 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+# --- 3-gram (word-shingle) Jaccard — the n-gram form of the above ------------
+@register(
+    "dedup_shingle_jaccard_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 150
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in generate_series(1, len(w) - 2)]) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 100
+    """,
+)
+def dedup_shingle_jaccard_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 3)
+    # 3-word shingles: slice(w, i+1, 3) for i in 0..len-3
+    shingles = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+            )
+        ).alias("s"),
+    ).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
 # --- SimHash (Spark-only: verified by pytest, rows-only driver check) ---------
 SIMHASH_SCHEMA = T.StructType(
     [

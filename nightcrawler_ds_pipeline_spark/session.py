@@ -48,6 +48,9 @@ def get_spark(
         # binary image payloads average ~20 KB/row: 2048 rows/Arrow batch
         # caps per-task batch memory at ~40 MB (10k rows → 200 MB → spills)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # same sizing for the vectorized parquet reader: the default 4096-row
+        # column batches × 20 KB binary × tasks OOM a 1 GB spark-submit heap
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # deterministic Python hashing inside UDF workers
