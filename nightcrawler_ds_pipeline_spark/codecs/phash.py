@@ -30,7 +30,7 @@ def _dct_matrix(n: int) -> np.ndarray:
     return d
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)  # bounded: real corpora have many distinct dims
 def _resize_weights(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) exact area-average resampling matrix (rows sum to 1)."""
     w = np.zeros((n_out, n_in), dtype=np.float64)

@@ -41,11 +41,8 @@ from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
 from nightcrawler_ds_pipeline_spark.functions.urls import with_canonical
 
 # CTR click-share prior for seed priorities — the reference's rank-based
-# traffic model (helpers/analytics/keywords_selection.py:113-134).
-RANK_CLICK_SHARES = [
-    0.33, 0.17, 0.11, 0.08, 0.06, 0.05, 0.04, 0.035, 0.03, 0.025,
-    0.01, 0.01, 0.01, 0.01, 0.01, 0.005, 0.005, 0.0034, 0.0033, 0.0033,
-]
+# traffic model (single shared definition, see constants.py).
+from nightcrawler_ds_pipeline_spark.constants import RANK_CLICK_SHARES  # noqa: E402
 
 
 @dataclass
@@ -89,12 +86,17 @@ def seed_frontier(serp: DataFrame) -> DataFrame:
 
 def _phash_dedup(fetched: DataFrame, history_phash: DataFrame | None) -> DataFrame:
     """is_phash_dup: exact phash already in history, or an earlier row (by
-    deterministic seq) of this batch."""
-    w = Window.partitionBy("phash").orderBy(F.col("seq").asc())
-    out = fetched.withColumn(
-        "__batch_dup",
-        F.col("decode_ok") & (F.row_number().over(w) > 1),
+    deterministic seq) of this batch.
+
+    Only decode_ok rows enter the phash window/join: failed/imageless rows
+    all share phash=0 and would pile into ONE window partition (a straggler
+    task at scale); their is_phash_dup is False by definition."""
+    ok = fetched.filter(F.col("decode_ok"))
+    ko = fetched.filter(~F.col("decode_ok")).withColumn(
+        "is_phash_dup", F.lit(False)
     )
+    w = Window.partitionBy("phash").orderBy(F.col("seq").asc())
+    out = ok.withColumn("__batch_dup", F.row_number().over(w) > 1)
     if history_phash is not None:
         # no broadcast hint: the phash history grows without bound across
         # iterations — AQE broadcasts while it's small and falls back to a
@@ -102,14 +104,15 @@ def _phash_dedup(fetched: DataFrame, history_phash: DataFrame | None) -> DataFra
         hist = history_phash.select(F.col("phash").alias("__hist_phash")).distinct()
         out = out.join(
             hist, out["phash"] == hist["__hist_phash"], "left"
-        ).withColumn(
-            "__hist_dup", F.col("decode_ok") & F.col("__hist_phash").isNotNull()
-        ).drop("__hist_phash")
+        ).withColumn("__hist_dup", F.col("__hist_phash").isNotNull()).drop(
+            "__hist_phash"
+        )
     else:
         out = out.withColumn("__hist_dup", F.lit(False))
-    return out.withColumn(
-        "is_phash_dup", F.coalesce(F.col("__batch_dup") | F.col("__hist_dup"), F.lit(False))
+    out = out.withColumn(
+        "is_phash_dup", F.col("__batch_dup") | F.col("__hist_dup")
     ).drop("__batch_dup", "__hist_dup")
+    return out.unionByName(ko.select(*out.columns))
 
 
 def committed_iter(catalog: SnapshotCatalog, spark: SparkSession) -> int:
@@ -138,6 +141,10 @@ def run_crawl(
     images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
 
     start_iter = committed_iter(catalog, spark) + 1
+    # exact resume: drop any snapshots a crash left behind for iterations
+    # whose lineage never committed — otherwise re-running the iteration
+    # would append a second copy of its rows
+    catalog.rollback_above(start_iter - 1)
     summary: list[dict] = []
 
     for it in range(start_iter, cfg.iterations):
@@ -151,28 +158,54 @@ def run_crawl(
 
         # 1. not-seen filter (Bloom pre-pass, exact anti-join decider).
         # Cached: candidates feed BOTH the dequeue and the remaining-frontier
-        # rewrite — caching runs the Bloom UDF + anti-join once per iteration.
+        # rewrite. (Materializing the cache still evaluates the Bloom UDF
+        # twice — once per union branch inside filter_unseen — but that's a
+        # narrow pruned scan; the win is not re-running it per consumer.)
         candidates = filter_unseen(
             spark, frontier, seen, bloom, num_partitions=cfg.bloom_partitions
         ).cache()
 
-        # 2. politeness dequeue (robots gate inside); budgets come from the
-        # persisted crawl-delay token buckets (north_rule) — unspent time
-        # rolls over, so skipped slow hosts catch up in later iterations
+        # 2. robots gate ONCE (dequeue, remaining-frontier rewrite and
+        # bucket accounting all reuse it), then the token-bucket dequeue —
+        # unspent time rolls over so skipped slow hosts catch up later
         bucket_state = catalog.read(spark, "politeness", max_iter=committed)
-        batch = politeness.dequeue(
-            candidates,
-            robots,
+        gated = politeness.robots_filter(candidates, robots).cache()
+        batch = politeness.dequeue_gated(
+            gated,
             window_ms=cfg.window_ms,
             max_per_host=cfg.max_per_host,
             num_salts=cfg.num_salts,
             bucket_state=bucket_state,
         ).cache()
         n_batch = batch.count()
+        gated_hosts = gated.select("host", "crawl_delay_ms")
         if n_batch == 0:
+            # nothing dequeuable. If the gated frontier is empty the crawl
+            # is done; otherwise slow hosts are merely out of tokens — commit
+            # an accrual-only iteration so their buckets refill (without
+            # this, hosts with crawl_delay > window starve forever).
+            if gated.limit(1).count() == 0:
+                batch.unpersist()
+                gated.unpersist()
+                candidates.unpersist()
+                break
+            meta = {"iter": it}
+            accrued = politeness.next_bucket_state(
+                gated_hosts, batch, bucket_state, window_ms=cfg.window_ms
+            )
+            catalog.write(accrued, "politeness", mode="overwrite", meta=meta)
+            empty_lineage = spark.createDataFrame(
+                [(it, -1, "empty", 0, 0, cfg.run_ts)], schema=schemas.LINEAGE
+            )
+            catalog.write(empty_lineage, "lineage", mode="append", meta=meta)
+            summary.append(
+                {"iter": it, "dequeued": 0, "results": 0,
+                 "new_unique_images": 0, "errors": 0}
+            )
             batch.unpersist()
+            gated.unpersist()
             candidates.unpersist()
-            break
+            continue
 
         # 3. fetch + decode + phash
         fetched = fetch_batch(batch, responses, images)
@@ -221,11 +254,14 @@ def run_crawl(
         )
 
         # 5c. frontier edges from outlinks; remaining = gated - dequeued + new
-        gated = politeness.robots_filter(candidates, robots).select(*FRONTIER_COLS)
-        remaining = gated.join(batch.select("url_hash"), "url_hash", "left_anti")
+        remaining = gated.select(*FRONTIER_COLS).join(
+            batch.select("url_hash"), "url_hash", "left_anti"
+        )
 
+        # edges come only from successful fetches (the parity oracle skips
+        # error responses; an error page's partial outlinks are not crawled)
         outlinks = (
-            deduped.filter(F.col("outlinks").isNotNull())
+            deduped.filter(~F.col("error") & F.col("outlinks").isNotNull())
             .select(
                 F.col("url_hash").alias("parent_url_hash"),
                 (F.col("priority") * cfg.outlink_priority_decay).alias("priority"),
@@ -258,9 +294,6 @@ def run_crawl(
             )
 
         # 5d. token-bucket accounting for the next iteration
-        gated_hosts = politeness.robots_filter(candidates, robots).select(
-            "host", "crawl_delay_ms"
-        )
         new_buckets = politeness.next_bucket_state(
             gated_hosts, batch, bucket_state, window_ms=cfg.window_ms
         )
@@ -322,6 +355,7 @@ def run_crawl(
         )
         batch.unpersist()
         deduped.unpersist()
+        gated.unpersist()
         candidates.unpersist()
 
     return {"start_iter": start_iter, "iterations": summary}

@@ -52,11 +52,15 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def host_budget_col(window_ms: int, max_per_host: int):
-    """tokens = clamp(floor(window_ms / crawl_delay_ms), 1, max_per_host)."""
+    """tokens = clamp(floor(window_ms / crawl_delay_ms), 0, max_per_host).
+
+    Clamp floor is 0 (not 1): a host with crawl_delay_ms > window_ms gets no
+    fetch this window and accrues tokens instead — matching the token-bucket
+    path and the parity oracle exactly."""
     raw = F.when(F.col("crawl_delay_ms") <= 0, F.lit(max_per_host)).otherwise(
         F.floor(F.lit(window_ms) / F.col("crawl_delay_ms"))
     )
-    return F.greatest(F.lit(1), F.least(F.lit(max_per_host), raw)).cast("int")
+    return F.greatest(F.lit(0), F.least(F.lit(max_per_host), raw)).cast("int")
 
 
 def dequeue(
@@ -67,7 +71,27 @@ def dequeue(
     num_salts: int = DEFAULT_NUM_SALTS,
     bucket_state: DataFrame | None = None,
 ) -> DataFrame:
-    """Politeness-budgeted deterministic dequeue of the next fetch batch.
+    """robots gate + `dequeue_gated` (see there)."""
+    return dequeue_gated(
+        robots_filter(frontier, robots),
+        window_ms=window_ms,
+        max_per_host=max_per_host,
+        num_salts=num_salts,
+        bucket_state=bucket_state,
+    )
+
+
+def dequeue_gated(
+    gated: DataFrame,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    max_per_host: int = DEFAULT_MAX_PER_HOST,
+    num_salts: int = DEFAULT_NUM_SALTS,
+    bucket_state: DataFrame | None = None,
+) -> DataFrame:
+    """Politeness-budgeted deterministic dequeue of the next fetch batch,
+    over an already robots-gated frontier (callers that need the gated set
+    for other purposes — remaining-frontier rewrite, bucket accounting —
+    compute it once and pass it here).
 
     Output = frontier columns + crawl_delay_ms, host_budget, seq (global
     deterministic crawl order within the iteration).
@@ -78,7 +102,6 @@ def dequeue(
     over (capped at 2 windows), so a slow host skipped this iteration can
     catch up next — a real token bucket, not a per-iteration allowance.
     """
-    gated = robots_filter(frontier, robots)
     if bucket_state is not None:
         state = bucket_state.select("host", "tokens_ms")
         gated = gated.join(F.broadcast(state), "host", "left")
@@ -123,9 +146,61 @@ def dequeue(
 
     # deterministic global crawl order for the (bounded) dequeued batch.
     # The batch is ≤ hosts × max_per_host rows — orders of magnitude smaller
-    # than the frontier — so a global window here is safe by construction.
-    w_seq = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
-    return batch.withColumn("seq", F.row_number().over(w_seq).cast("long"))
+    # than the frontier — so a single-partition window is safe up to ~10^7;
+    # past that, assign_global_seq switches to range-partitioned two-pass
+    # numbering with identical semantics.
+    return assign_global_seq(batch)
+
+
+def assign_global_seq(
+    batch: DataFrame,
+    single_window_threshold: int = 5_000_000,
+    known_count: int | None = None,
+) -> DataFrame:
+    """Global dense 1..n ``seq`` by (priority desc, url_hash asc).
+
+    Small batches: one window (single partition — fine below ~10^7 rows).
+    Large batches: repartitionByRange on the SAME total order, number rows
+    within each sorted partition, then add per-partition offsets computed
+    from partition counts (a classic zipWithIndex — no single-task stage
+    ever sees the whole batch). Both paths produce identical seq values
+    because the order is total (url_hash is unique within a batch)."""
+    order = [F.col("priority").desc(), F.col("url_hash").asc()]
+    # No eager count here — an extra action would recompute the dequeue
+    # windows before the caller can cache. Callers with huge batches pass
+    # known_count to opt into the two-pass path.
+    if known_count is None or known_count <= single_window_threshold:
+        w_seq = Window.orderBy(*order)
+        return batch.withColumn("seq", F.row_number().over(w_seq).cast("long"))
+    ranged = (
+        batch.repartitionByRange(256, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_part = Window.partitionBy("__pid").orderBy(*order)
+    with_local = ranged.withColumn(
+        "__local", F.row_number().over(w_part).cast("long")
+    )
+    counts = (
+        with_local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        with_local.join(F.broadcast(counts), "__pid")
+        .withColumn("seq", (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
 
 
 def next_bucket_state(

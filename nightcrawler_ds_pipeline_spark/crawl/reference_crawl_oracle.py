@@ -33,10 +33,7 @@ from urllib.parse import urlparse
 
 from nightcrawler_ds_pipeline_spark.functions.urls import canonicalize
 
-RANK_CLICK_SHARES = [
-    0.33, 0.17, 0.11, 0.08, 0.06, 0.05, 0.04, 0.035, 0.03, 0.025,
-    0.01, 0.01, 0.01, 0.01, 0.01, 0.005, 0.005, 0.0034, 0.0033, 0.0033,
-]
+from nightcrawler_ds_pipeline_spark.constants import RANK_CLICK_SHARES  # noqa: E402
 
 
 @dataclass
@@ -117,8 +114,10 @@ def run_crawl_oracle(
             batch.extend(take)
             spent[host] = len(take) * max(delay, 0)
             st.tokens[host] = int(available - spent[host])
+        if not gated:
+            break  # frontier exhausted (post-robots) — the crawl is done
         if not batch:
-            break
+            continue  # accrual-only iteration: out-of-token hosts refill
 
         # global deterministic crawl order
         batch.sort(key=lambda r: (-r["priority"], r["url_hash"]))

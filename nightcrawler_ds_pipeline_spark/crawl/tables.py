@@ -112,6 +112,22 @@ class SnapshotCatalog:
         df = spark.read.parquet(*[s["dir"] for s in live])
         return df
 
+    def rollback_above(self, max_iter: int) -> None:
+        """Drop snapshots from un-finalized iterations (meta.iter > max_iter)
+        across ALL tables. Called on resume: a crash can leave committed
+        snapshots for an iteration whose lineage (the finalizer) never
+        landed; without this, re-running the iteration would append a second
+        copy and duplicate rows forever."""
+        import os as _os
+
+        for table in list(_os.listdir(self.root)):
+            if not _os.path.isdir(self._table_dir(table)):
+                continue
+            snaps = self._load_manifest(table)
+            keep = [s for s in snaps if s["meta"].get("iter", -1) <= max_iter]
+            if len(keep) != len(snaps):
+                self._commit_manifest(table, keep)
+
     def truncate(self, table: str) -> None:
         tdir = self._table_dir(table)
         if os.path.exists(tdir):

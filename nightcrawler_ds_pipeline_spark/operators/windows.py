@@ -17,10 +17,7 @@ from nightcrawler_ds_pipeline_spark.operators.sqlfrags import (
 
 # W0 — rank-based CTR traffic model (keywords_selection.py:100-147):
 # positions 1..20 get a click share; volume_i = round(share_i × volume).
-RANK_CLICK_SHARES = [
-    0.33, 0.17, 0.11, 0.08, 0.06, 0.05, 0.04, 0.035, 0.03, 0.025,
-    0.01, 0.01, 0.01, 0.01, 0.01, 0.005, 0.005, 0.0034, 0.0033, 0.0033,
-]
+from nightcrawler_ds_pipeline_spark.constants import RANK_CLICK_SHARES  # noqa: E402
 
 _SHARES_SQL_ROWS = ", ".join(
     f"({i + 1}, {s})" for i, s in enumerate(RANK_CLICK_SHARES)

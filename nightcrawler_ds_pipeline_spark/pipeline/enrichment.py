@@ -22,11 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# keywords_selection.py:113-134, verbatim
-RANK_CLICK_SHARES = [
-    0.33, 0.17, 0.11, 0.08, 0.06, 0.05, 0.04, 0.035, 0.03, 0.025,
-    0.01, 0.01, 0.01, 0.01, 0.01, 0.005, 0.005, 0.0034, 0.0033, 0.0033,
-]
+# keywords_selection.py:113-134 (single shared definition)
+from nightcrawler_ds_pipeline_spark.constants import RANK_CLICK_SHARES  # noqa: E402
 
 
 def aggregate_keywords(enriched: DataFrame) -> DataFrame:

@@ -52,15 +52,19 @@ def test_resume_after_simulated_crash(spark, t1_dir, tmp_path):
                             F.lit(1).cast("int").alias("seen_iter")),
                 "seen", mode="append", meta={"iter": 1})  # orphan
 
-    # resume: iteration 1 must be recomputed from committed state only
+    # resume: iteration 1 must be recomputed from committed state only, and
+    # the orphan snapshots must be PHYSICALLY rolled back (no junk filter —
+    # without the rollback the orphan rows would duplicate forever)
     out = run_crawl(spark, cat_b, t1_dir, cfg)
     assert out["start_iter"] == 1
 
-    # the orphan snapshots are superseded: compare against golden, ignoring
-    # the junk rows which carry iter=1 but were rolled back logically
-    res = cat_b.read(spark, "results").filter(F.col("url") != "https://junk")
+    res = cat_b.read(spark, "results")
+    assert res.filter(F.col("url") == "https://junk").count() == 0
     order = sorted(
         (r["iter"], r["seq"], r["url_hash"])
         for r in res.select("iter", "seq", "url_hash").collect()
     )
     assert order == golden[0]
+    # seen table also clean of orphans
+    seen = cat_b.read(spark, "seen")
+    assert seen.count() == seen.select("url_hash").distinct().count()
