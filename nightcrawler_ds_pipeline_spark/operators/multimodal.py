@@ -91,6 +91,62 @@ def image_phash_neardup(spark, sf_dir):
     )
 
 
+# real area-average image resize (thumbnailing) over the binary column
+@register("image_resize_stats")
+def image_resize_stats(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.multimodal_udfs import resize_images
+
+    resized = resize_images(_images(spark).select("image_id", "fmt", "bytes"))
+    return (
+        resized.groupBy("fmt", "resize_ok")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("thumb_mean"), 4).alias("avg_thumb_mean"),
+        )
+        .orderBy("fmt", "resize_ok")
+    )
+
+
+# audio feature extraction (codec step stubbed — no audio lib in env;
+# Spark plumbing + Arrow batching real)
+@register("audio_feature_stats")
+def audio_feature_stats(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.fixtures.multimodal import gen_audio_pdf
+    from nightcrawler_ds_pipeline_spark.functions.multimodal_udfs import audio_features
+
+    audio = spark.createDataFrame(gen_audio_pdf(200))
+    feats = audio_features(audio)
+    return (
+        feats.groupBy("sample_rate", "decode_ok")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        )
+        .orderBy("sample_rate", "decode_ok")
+    )
+
+
+# video frame sampling (codec step stubbed — no video lib in env)
+@register("video_frame_sample_stats")
+def video_frame_sample_stats(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.fixtures.multimodal import gen_video_pdf
+    from nightcrawler_ds_pipeline_spark.functions.multimodal_udfs import (
+        video_frame_sample,
+    )
+
+    video = spark.createDataFrame(gen_video_pdf(100))
+    sampled = video_frame_sample(video, every_n=5)
+    return (
+        sampled.groupBy("fps", "decode_ok")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("sampled_frames").cast("long").alias("total_sampled"),
+        )
+        .orderBy("fps", "decode_ok")
+    )
+
+
 # one full crawl iteration snapshot — the flagship loop as a driver query
 @register("crawl_iteration_snapshot")
 def crawl_iteration_snapshot(spark, sf_dir):
