@@ -249,7 +249,13 @@ def fixture_dir(tier: str, root: str | None = None) -> str:
 
 
 def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
-    """Generate + write all fixture tables for a tier; idempotent by marker."""
+    """Generate + write all fixture tables for a tier.
+
+    Idempotent AND concurrency-safe: generation goes into a process-private
+    staging dir which is atomically renamed into place; a loser of the race
+    just deletes its staging copy. Readers only ever see a complete dir."""
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -257,7 +263,8 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
-    os.makedirs(out, exist_ok=True)
+    staging = f"{out}.staging-{os.getpid()}"
+    os.makedirs(staging, exist_ok=True)
     sizes = TIERS[tier]
     images = gen_images_pdf(sizes["images"])
     serp = gen_serp_results_pdf(sizes["serp"], num_hosts=sizes["hosts"])
@@ -274,9 +281,16 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
         # every scan single-task); 2048-row groups give splittable scans.
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(out, f"{name}.parquet"),
+            os.path.join(staging, f"{name}.parquet"),
             row_group_size=2048,
         )
-    with open(marker, "w") as f:
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
         f.write("ok\n")
+    try:
+        os.rename(staging, out)  # atomic publish (same filesystem)
+    except OSError:
+        # another process won the race — use theirs if complete
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return out
