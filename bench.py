@@ -76,15 +76,28 @@ def run_worker(cpus: str) -> dict:
     run — identical input at every parallelism level."""
     import os
 
-    from nightcrawler_ds_pipeline_spark.crawl.scaling import run_scaling_workload
+    from nightcrawler_ds_pipeline_spark.crawl.scaling import (
+        hw_ceiling_probe,
+        run_scaling_workload,
+    )
     from nightcrawler_ds_pipeline_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     n = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "2000000"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # the sandbox VM has time-varying host contention: take the median of
+    # several measured runs in one warm JVM, and probe raw capacity before
+    # AND after (max = closest to true capacity at this level)
+    hw_before = hw_ceiling_probe((int(cpus),))[int(cpus)]
     spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus)
     run_scaling_workload(spark, n_urls=max(100_000, n // 10))  # JIT warmup
-    out = run_scaling_workload(spark, n_urls=n)
+    runs = [run_scaling_workload(spark, n_urls=n) for _ in range(reps)]
     spark.stop()
+    hw_after = hw_ceiling_probe((int(cpus),))[int(cpus)]
+    runs.sort(key=lambda r: r["urls_per_sec"])
+    out = dict(runs[len(runs) // 2])  # median by throughput
+    out["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+    out["hw_units_per_sec"] = max(hw_before, hw_after)
     return out
 
 
@@ -105,14 +118,16 @@ def scaling_runs() -> dict:
     # N → 4N cores on identical input; efficiency = speedup / 4 (target ≥0.8)
     speedup = (t32 / t8) if t8 else None
     eff = speedup / 4.0 if speedup else None
-    # single-box hardware ceiling: same kernel under plain multiprocessing.
+    # single-box hardware ceiling: same kernel under plain multiprocessing,
+    # measured INSIDE each worker (colocated with that level's noise).
     # One box can't add memory bandwidth with cores the way a cluster adds
     # machines; spark_layer_efficiency = how much of the box's achievable
     # scaling the engine captures (the number that transfers to N→4N nodes).
-    from nightcrawler_ds_pipeline_spark.crawl.scaling import hw_ceiling_probe
-
-    hw = hw_ceiling_probe((8, 32))
-    hw_speedup = hw[32] / hw[8] if hw.get(8) else None
+    hw = {
+        8: results["local[8]"].get("hw_units_per_sec"),
+        32: results["local[32]"].get("hw_units_per_sec"),
+    }
+    hw_speedup = hw[32] / hw[8] if hw.get(8) and hw.get(32) else None
     return {
         "throughput_local8": t8,
         "throughput_local32": t32,
