@@ -156,11 +156,10 @@ def run_crawl(
         seen = catalog.read(spark, "seen", max_iter=committed)
         bloom = catalog.read(spark, "bloom", max_iter=committed)
 
-        # 1. not-seen filter (Bloom pre-pass, exact anti-join decider).
+        # 1. not-seen filter (Bloom pre-pass via the map-side co-partitioned
+        # probe — sketches never visit the driver; exact anti-join decider).
         # Cached: candidates feed BOTH the dequeue and the remaining-frontier
-        # rewrite. (Materializing the cache still evaluates the Bloom UDF
-        # twice — once per union branch inside filter_unseen — but that's a
-        # narrow pruned scan; the win is not re-running it per consumer.)
+        # rewrite.
         candidates = filter_unseen(
             spark, frontier, seen, bloom, num_partitions=cfg.bloom_partitions
         ).cache()

@@ -16,6 +16,17 @@ Layout: partition p = pmod(url_hash, P); each partition owns an m-bit
 sketch with k hashes derived from the already-uniform xxhash64 key via
 splitmix64 double hashing (public-domain construction). Sketches OR-merge
 across iterations and persist as one binary row per partition.
+
+Probe strategies (``filter_unseen(probe=...)``):
+
+- ``copartition`` (default, the 10^10 path): candidates' keys are shuffled
+  by pmod(key, P) and cogrouped with their OWN partition's sketch row via
+  ``applyInPandas`` — each task touches exactly one sketch, **no sketch ever
+  visits the driver** (SCALE.md §2: at the design point the sketch table is
+  ~12.5 GB — collect+broadcast would ship it to the driver and then to every
+  executor).
+- ``broadcast`` (micro-batch/diagnostic path): driver-collects the sketch
+  table into a broadcast pandas UDF. Only sane while ΣP·m bits is a few MB.
 """
 
 from __future__ import annotations
@@ -124,12 +135,57 @@ def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     return both.groupBy("partition_id").applyInPandas(merge, schema=schema)
 
 
+def bloom_suspect_keys(
+    candidates: DataFrame,
+    bloom_df: DataFrame,
+    key: str = "url_hash",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> DataFrame:
+    """Map-side co-partitioned Bloom probe → the Bloom-POSITIVE key set.
+
+    Candidates' keys shuffle by pmod(key, P); each cogroup task probes its
+    rows against its own partition's sketch row (one 128 KiB–16 MiB binary
+    blob per task, read executor-side). The sketch table never crosses the
+    driver, so the probe scales with P, not with Σ sketch bytes.
+
+    Returns a (key) DataFrame of maybe-seen keys — i.e. true hits + Bloom
+    false positives; never misses a truly-seen key (no false negatives).
+    """
+    out_schema = T.StructType([T.StructField(key, T.LongType(), False)])
+
+    def probe(cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        # no sketch row for this partition → no key of it was ever inserted
+        if cand_pdf.empty or sk_pdf.empty:
+            return pd.DataFrame({key: pd.Series([], dtype="int64")})
+        bits = np.frombuffer(sk_pdf["bitset"].iloc[0], dtype=np.uint8)
+        num_bits = int(sk_pdf["num_bits"].iloc[0])
+        num_hashes = int(sk_pdf["num_hashes"].iloc[0])
+        keys = cand_pdf[key].to_numpy(dtype=np.int64)
+        pos = _bit_positions(keys, num_bits, num_hashes)
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.DataFrame({key: keys[hit.all(axis=1)]})
+
+    keyed = candidates.select(key).withColumn(
+        "__pid", F.pmod(F.col(key), F.lit(num_partitions)).cast("int")
+    )
+    sketches = bloom_df.select("partition_id", "num_bits", "num_hashes", "bitset")
+    return (
+        keyed.groupBy("__pid")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
 def bloom_maybe_seen_udf(
     spark: SparkSession,
     bloom_df: DataFrame | None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ):
     """Broadcast the Bloom table → Arrow-batched membership pandas UDF.
+
+    The MICRO-BATCH / diagnostic probe: driver-collects the sketch table,
+    which is only sane while it is a few MB total (tests, tiny frontiers).
+    Production `filter_unseen` defaults to the co-partitioned probe above.
 
     Returns None when no Bloom exists yet (first iteration) — caller skips
     the pre-filter and goes straight to the exact anti-join.
@@ -176,21 +232,42 @@ def filter_unseen(
     bloom_df: DataFrame | None,
     key: str = "url_hash",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    probe: str = "copartition",
 ) -> DataFrame:
     """Exact not-seen filter with Bloom pre-pass (J2, the workhorse join).
 
-    definitely-new rows (Bloom negative) bypass the shuffle; Bloom positives
-    are confirmed exactly via left-anti join. Without a Bloom (or without a
-    seen table) this degrades gracefully to the exact path alone.
+    The Bloom never decides: both probe strategies end in an exact join
+    against the seen table, the Bloom only shrinks that join's probe side to
+    (true hits + ε false positives). Without a Bloom (or without a seen
+    table) this degrades gracefully to the exact path alone.
+
+    copartition (default): suspects = bloom_suspect_keys (map-side cogroup,
+    no driver collect); confirmed-seen = suspects ⋉ seen; result =
+    candidates ▷ confirmed-seen. Because the Bloom has no false negatives,
+    confirmed-seen ≡ candidates ∩ seen, so the result is exactly
+    candidates \\ seen. confirmed-seen is small (≈ the re-seen fraction of
+    the batch), so AQE turns the final anti-join into a broadcast — the
+    full-width candidate rows are never shuffled.
+
+    broadcast: the legacy driver-collect pandas-UDF pre-filter — fine for
+    tests and micro-batches, unusable once the sketch table outgrows RAM.
     """
     if seen_df is None:
         return candidates
-    maybe = bloom_maybe_seen_udf(spark, bloom_df, num_partitions)
     seen_keys = seen_df.select(key)
-    if maybe is None:
+    if bloom_df is None:
         return candidates.join(seen_keys, key, "left_anti")
-    tagged = candidates.withColumn("__maybe_seen", maybe(F.col(key)))
-    fresh = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    suspects = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    confirmed_new = suspects.join(seen_keys, key, "left_anti")
-    return fresh.unionByName(confirmed_new)
+
+    if probe == "broadcast":
+        maybe = bloom_maybe_seen_udf(spark, bloom_df, num_partitions)
+        if maybe is None:
+            return candidates.join(seen_keys, key, "left_anti")
+        tagged = candidates.withColumn("__maybe_seen", maybe(F.col(key)))
+        fresh = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        suspects = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        confirmed_new = suspects.join(seen_keys, key, "left_anti")
+        return fresh.unionByName(confirmed_new)
+
+    suspect_keys = bloom_suspect_keys(candidates, bloom_df, key, num_partitions)
+    confirmed_seen = suspect_keys.join(seen_keys, key, "left_semi")
+    return candidates.join(confirmed_seen, key, "left_anti")

@@ -5,9 +5,11 @@ import pyspark.sql.functions as F
 import pytest
 
 from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+from nightcrawler_ds_pipeline_spark.crawl import seen as seen_mod
 from nightcrawler_ds_pipeline_spark.crawl.seen import (
     build_bloom_partitions,
     bloom_maybe_seen_udf,
+    bloom_suspect_keys,
     filter_unseen,
     merge_bloom_tables,
 )
@@ -73,6 +75,57 @@ def test_filter_unseen_exactness(spark):
     expected = all_keys.join(seen, "url_hash", "left_anti")
     assert out.count() == expected.count()
     assert out.exceptAll(expected).count() == 0
+
+
+def test_copartition_probe_no_false_negatives(spark):
+    # every inserted key must appear in the suspect set (no false negatives)
+    keys = spark.range(0, 20_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    bloom = build_bloom_partitions(keys, num_partitions=8)
+    suspects = bloom_suspect_keys(keys, bloom, num_partitions=8)
+    missed = keys.join(suspects, "url_hash", "left_anti").count()
+    assert missed == 0
+    # low false-positive rate on fresh keys
+    fresh = spark.range(1_000_000, 1_020_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    fp = bloom_suspect_keys(fresh, bloom, num_partitions=8).count()
+    assert fp / 20_000 < 0.01
+
+
+def test_filter_unseen_copartition_never_collects_sketches(spark, monkeypatch):
+    # the production (default) probe must not route through the
+    # driver-collect broadcast path — monkeypatch it to a tripwire
+    def boom(*a, **k):  # pragma: no cover - tripwire
+        raise AssertionError("driver-collect bloom path used in copartition mode")
+
+    monkeypatch.setattr(seen_mod, "bloom_maybe_seen_udf", boom)
+    all_keys = spark.range(0, 3000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    seen = all_keys.filter(F.col("url_hash") % 3 == 0)
+    bloom = build_bloom_partitions(seen, num_partitions=4)
+    out = seen_mod.filter_unseen(spark, all_keys, seen, bloom, num_partitions=4)
+    # plan shape: cogrouped map-side probe + exact joins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    expected = all_keys.join(seen, "url_hash", "left_anti")
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0
+
+
+def test_filter_unseen_probe_modes_agree(spark):
+    all_keys = spark.range(0, 4000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    seen = all_keys.filter(F.col("url_hash") % 2 == 0)
+    bloom = build_bloom_partitions(seen, num_partitions=4, num_bits=1 << 10)
+    co = filter_unseen(spark, all_keys, seen, bloom, num_partitions=4)
+    bc = filter_unseen(
+        spark, all_keys, seen, bloom, num_partitions=4, probe="broadcast"
+    )
+    assert co.exceptAll(bc).count() == 0 and bc.exceptAll(co).count() == 0
 
 
 def test_cuckoo_insert_lookup_delete():
