@@ -169,14 +169,21 @@ def run_crawl(
         # unspent time rolls over so skipped slow hosts catch up later
         bucket_state = catalog.read(spark, "politeness", max_iter=committed)
         gated = politeness.robots_filter(candidates, robots).cache()
-        batch = politeness.dequeue_gated(
+        # dequeue WITHOUT seq, cache, count — then number with known_count so
+        # big batches take the range-partitioned two-pass path (no global
+        # single-partition window anywhere in the loop)
+        pre_batch = politeness.dequeue_gated(
             gated,
             window_ms=cfg.window_ms,
             max_per_host=cfg.max_per_host,
             num_salts=cfg.num_salts,
             bucket_state=bucket_state,
+            assign_seq=False,
         ).cache()
-        n_batch = batch.count()
+        n_batch = pre_batch.count()
+        batch = politeness.assign_global_seq(
+            pre_batch, known_count=n_batch
+        ).cache()
         gated_hosts = gated.select("host", "crawl_delay_ms")
         if n_batch == 0:
             # nothing dequeuable. If the gated frontier is empty the crawl
@@ -185,6 +192,7 @@ def run_crawl(
             # this, hosts with crawl_delay > window starve forever).
             if gated.limit(1).count() == 0:
                 batch.unpersist()
+                pre_batch.unpersist()
                 gated.unpersist()
                 candidates.unpersist()
                 break
@@ -202,6 +210,7 @@ def run_crawl(
                  "new_unique_images": 0, "errors": 0}
             )
             batch.unpersist()
+            pre_batch.unpersist()
             gated.unpersist()
             candidates.unpersist()
             continue
@@ -353,6 +362,7 @@ def run_crawl(
             }
         )
         batch.unpersist()
+        pre_batch.unpersist()
         deduped.unpersist()
         gated.unpersist()
         candidates.unpersist()

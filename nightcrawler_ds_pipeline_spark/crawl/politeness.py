@@ -87,6 +87,7 @@ def dequeue_gated(
     max_per_host: int = DEFAULT_MAX_PER_HOST,
     num_salts: int = DEFAULT_NUM_SALTS,
     bucket_state: DataFrame | None = None,
+    assign_seq: bool = True,
 ) -> DataFrame:
     """Politeness-budgeted deterministic dequeue of the next fetch batch,
     over an already robots-gated frontier (callers that need the gated set
@@ -145,35 +146,43 @@ def dequeue_gated(
     )
 
     # deterministic global crawl order for the (bounded) dequeued batch.
-    # The batch is ≤ hosts × max_per_host rows — orders of magnitude smaller
-    # than the frontier — so a single-partition window is safe up to ~10^7;
-    # past that, assign_global_seq switches to range-partitioned two-pass
-    # numbering with identical semantics.
+    # Callers that already count the batch (the crawl loop does, to cache
+    # before the count) pass assign_seq=False and call assign_global_seq
+    # themselves with known_count — that engages the range-partitioned
+    # two-pass numbering above the threshold instead of one global window.
+    if not assign_seq:
+        return batch
     return assign_global_seq(batch)
 
 
 def assign_global_seq(
     batch: DataFrame,
-    single_window_threshold: int = 5_000_000,
+    single_window_threshold: int = 100_000,
     known_count: int | None = None,
+    num_range_partitions: int = 256,
 ) -> DataFrame:
     """Global dense 1..n ``seq`` by (priority desc, url_hash asc).
 
-    Small batches: one window (single partition — fine below ~10^7 rows).
-    Large batches: repartitionByRange on the SAME total order, number rows
-    within each sorted partition, then add per-partition offsets computed
-    from partition counts (a classic zipWithIndex — no single-task stage
-    ever sees the whole batch). Both paths produce identical seq values
-    because the order is total (url_hash is unique within a batch)."""
+    One mechanism at every size — repartitionByRange on the total order,
+    number rows within each sorted partition, then add per-partition offsets
+    (a classic zipWithIndex): no single-task stage ever sees the whole batch
+    and no plan node is an UNPARTITIONED window (the WindowExec "No
+    Partition Defined" scale hazard). Small batches (or unknown counts) use
+    ONE range partition — same execution shape as a global sort, but the
+    per-partition window still carries a defined partition spec. seq is a
+    pure function of the data: range boundaries only decide which partition
+    a row lands in, and offsets are computed from the partitions actually
+    produced, so the numbering equals the global rank in the total order
+    regardless of sampling (url_hash is unique within a batch — total
+    order, no boundary ties)."""
     order = [F.col("priority").desc(), F.col("url_hash").asc()]
     # No eager count here — an extra action would recompute the dequeue
     # windows before the caller can cache. Callers with huge batches pass
-    # known_count to opt into the two-pass path.
+    # known_count to opt into parallel numbering (the crawl loop always does).
     if known_count is None or known_count <= single_window_threshold:
-        w_seq = Window.orderBy(*order)
-        return batch.withColumn("seq", F.row_number().over(w_seq).cast("long"))
+        num_range_partitions = 1
     ranged = (
-        batch.repartitionByRange(256, *order)
+        batch.repartitionByRange(num_range_partitions, *order)
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
     )
@@ -181,23 +190,19 @@ def assign_global_seq(
     with_local = ranged.withColumn(
         "__local", F.row_number().over(w_part).cast("long")
     )
-    counts = (
-        with_local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__offset")
+    # offsets: cumulative count of lower-pid partitions, via a ≤P×P self-join
+    # on the ≤P-row counts frame (P ≤ 256) — windowless by design
+    counts = with_local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    lower = counts.select(
+        F.col("__pid").alias("__lo_pid"), F.col("__cnt").alias("__lo_cnt")
+    )
+    offsets = (
+        counts.join(lower, F.col("__lo_pid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__lo_cnt"), F.lit(0)).alias("__offset"))
     )
     return (
-        with_local.join(F.broadcast(counts), "__pid")
+        with_local.join(F.broadcast(offsets), "__pid")
         .withColumn("seq", (F.col("__offset") + F.col("__local")).cast("long"))
         .drop("__pid", "__local", "__offset")
     )

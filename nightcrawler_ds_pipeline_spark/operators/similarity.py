@@ -130,9 +130,9 @@ def _hyperplanes() -> np.ndarray:
     )
 
 
-@register("sim_ann_lsh")  # no oracle — rows-only; recall vs brute force in pytest
-def sim_ann_lsh(spark, sf_dir):
-    emb = read_table(spark, sf_dir, "embeddings")
+def lsh_buckets_udf(spark):
+    """Arrow-batched pandas UDF: embedding → its L bucket ids (one per
+    hyperplane table; bucket id = table·2^K + sign-pattern)."""
     planes = spark.sparkContext.broadcast(_hyperplanes())
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -146,6 +146,56 @@ def sim_ann_lsh(spark, sf_dir):
         vals = vals + (np.arange(NUM_TABLES) << PLANES_PER_TABLE)
         return pd.Series(list(vals.astype(np.int32)))
 
+    return buckets
+
+
+def embedding_lsh_pairs(
+    spark, emb: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Scale-safe semantic near-dup pairs: hyperplane-LSH bucket equi-join
+    (never a crossJoin), exact cosine only on same-bucket candidates.
+
+    With cos ≥ 0.9 (θ ≤ 25.8°) the per-table collision probability is
+    (1−θ/π)^K ≈ 0.39, so missing ALL L=16 tables happens with probability
+    (1−0.39)^16 ≈ 3·10⁻⁴ — recall ≈ 0.9997 by construction (verified ≥0.9
+    against the exact all-pairs oracle in tests/test_similarity_recall.py).
+    """
+    buckets = lsh_buckets_udf(spark)
+    bucketed = emb.withColumn("bucket", F.explode(buckets(F.col("embedding"))))
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cand = (
+        a.join(b, "bucket")  # equi-join on (table ⊕ bucket)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ea", "id_b", "eb")
+        .dropDuplicates(["id_a", "id_b"])  # union across tables
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# the 100TB semantic-dedup path: same output shape as the exact
+# dedup_embedding_cosine_pairs (which stays as its bounded recall oracle),
+# but candidates come from the LSH bucket join — no all-pairs anywhere.
+@register("dedup_embedding_lsh_pairs")  # rows-only; recall pinned in pytest
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(spark, emb, threshold=0.9)
+
+
+@register("sim_ann_lsh")  # no oracle — rows-only; recall vs brute force in pytest
+def sim_ann_lsh(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets_udf(spark)
     bucketed = emb.withColumn("bucket", F.explode(buckets(F.col("embedding"))))
     q = bucketed.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),

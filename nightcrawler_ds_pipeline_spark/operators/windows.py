@@ -128,12 +128,36 @@ def window_host_dequeue(spark, sf_dir):
     """,
 )
 def window_global_rank(spark, sf_dir):
-    orders = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc())
+    # Scale-safe top-k by dense rank: dense_rank ≤ 10 ⇔ o_totalprice is one
+    # of the 10 largest DISTINCT values. Compute the 10th-largest distinct
+    # value (distinct on ONE column + TakeOrderedAndProject — never a global
+    # sort of the table), broadcast the 1-row cutoff, filter survivors, and
+    # only THEN rank — the window runs over the tiny survivor set, keyed by
+    # a derived partition so no unpartitioned window over the full table.
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cutoff = (
+        orders.select("o_totalprice")
+        .distinct()
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(10)
+        .agg(F.min("o_totalprice").alias("__cut"))
+    )
+    survivors = orders.join(F.broadcast(cutoff)).filter(
+        F.col("o_totalprice") >= F.col("__cut")
+    )
+    # survivors hold ≤10 distinct prices: rank = count of distinct prices
+    # strictly greater — a windowless dense_rank over a bounded value set
+    vals = survivors.select("o_totalprice").distinct()
+    higher = vals.select(F.col("o_totalprice").alias("__hi"))
+    ranks = (
+        vals.join(F.broadcast(higher), F.col("__hi") > F.col("o_totalprice"), "left")
+        .groupBy("o_totalprice")
+        .agg((F.count("__hi") + 1).cast("long").alias("rank"))
+    )
     return (
-        orders.select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.dense_rank().over(w).cast("long"))
+        survivors.join(F.broadcast(ranks), "o_totalprice")
         .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_totalprice", "rank")
         .orderBy("rank", "o_orderkey")
     )
 

@@ -27,6 +27,49 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert all(q != n for q, n in approx)
 
 
+def test_embedding_lsh_pairs_recall_vs_exact(spark):
+    """Semantic-dedup scale path: LSH-bucketed pairs must recover ≥0.9 of
+    the exact all-pairs cosine≥0.9 set on a corpus with PLANTED near-dups
+    (random 64-d vectors almost never exceed 0.9, so plant perturbed
+    copies: cos(v, v+0.05·noise) ≈ 0.999)."""
+    import numpy as np
+
+    from nightcrawler_ds_pipeline_spark.operators.similarity import (
+        embedding_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-duplicate of every 3rd vector
+        if i % 3 == 0:
+            w = v + 0.05 * rng.standard_normal(64)
+            rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_pairs(spark, emb, threshold=0.9).collect()
+    }
+    # exact all-pairs ground truth, computed driver-side in numpy
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    exact = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    assert len(exact) >= 30  # the planted dups are actually there
+    assert not (lsh - exact)  # no false positives (exact cosine re-check)
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} too low"
+
+
 def test_elide_nullish_reference_semantics():
     d = {
         "a": None, "b": -1, "c": "", "d": 0, "e": False, "f": -1.0,
