@@ -26,10 +26,16 @@ def fetch_batch(
     batch: DataFrame,
     responses: DataFrame,
     images: DataFrame,
+    backend: str = "zyte",
 ) -> DataFrame:
     """Join the dequeued batch to fixture responses, resolve image bytes,
     decode, and compute phash. Missing response → error row (never drop —
-    the seen set still records the attempt)."""
+    the seen set still records the attempt). ``backend`` selects the
+    response adapter (S8): zyte-shaped rows pass through, diffbot-shaped
+    rows are normalized column-algebraically (crawl/backends.py)."""
+    from nightcrawler_ds_pipeline_spark.crawl.backends import normalize_responses
+
+    responses = normalize_responses(responses, backend)
     resp = responses.select(
         "url",
         F.col("error").alias("fetch_error"),

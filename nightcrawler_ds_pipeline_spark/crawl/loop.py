@@ -55,6 +55,15 @@ class CrawlConfig:
     outlink_priority_decay: float = 0.5
     run_ts: str = "1970-01-01_00-00-00"  # injected, never wall-clock
     frontier_shuffle_partitions: int | None = None
+    # TTL re-crawl (reference cache_duration, api_caller.py:24,74: an
+    # expired cache entry no longer suppresses the re-fetch). A seen entry
+    # older than ttl_iters iterations stops suppressing: the URL re-enters
+    # the frontier when rediscovered and is re-dequeued exactly once. None
+    # = seen forever. The Bloom keeps ALL historical keys (it cannot
+    # delete — expired entries only cost false positives, and the Bloom
+    # never decides); the cuckoo filter (crawl/cuckoo.py) is the
+    # deletion-capable sketch for TTL-heavy workloads.
+    ttl_iters: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -155,6 +164,12 @@ def run_crawl(
             frontier = seed_frontier(serp)
         seen = catalog.read(spark, "seen", max_iter=committed)
         bloom = catalog.read(spark, "bloom", max_iter=committed)
+        # TTL: only still-fresh seen rows suppress a re-fetch. The Bloom
+        # stays unfiltered (it can't delete) — it over-approximates and the
+        # exact anti-join against the ACTIVE seen set decides, so an
+        # expired URL passes and gets re-dequeued (cfg.ttl_iters docstring).
+        if seen is not None and cfg.ttl_iters is not None:
+            seen = seen.filter(F.col("seen_iter") > it - cfg.ttl_iters)
 
         # 1. not-seen filter (Bloom pre-pass via the map-side co-partitioned
         # probe — sketches never visit the driver; exact anti-join decider).

@@ -21,7 +21,15 @@ the JVM boundary). Host extraction and hashing stay JVM-side
 from __future__ import annotations
 
 import re
-from urllib.parse import ParseResult, parse_qsl, quote, urlencode, urlparse, urlunparse
+from urllib.parse import (
+    ParseResult,
+    parse_qsl,
+    quote,
+    quote_plus,
+    urlencode,
+    urlparse,
+    urlunparse,
+)
 
 import pandas as pd
 from pyspark.sql import Column
@@ -83,6 +91,22 @@ def clean_url(url: str) -> str:
 def canonicalize(url: str) -> str:
     """Engine canonical form = tracking-param removal (the seen-set key)."""
     return remove_tracking_parameters(url)
+
+
+def double_urlencode(url: str) -> str:
+    """F8 — quote_plus applied twice: the reverse-image query-URL quirk.
+
+    Reference: extract/s03_reverse_image_search.py:47-48 ("need to
+    double-urlencode the URL to make it work with SerpAPI and Google" —
+    ``quote_plus(quote_plus(image_url))``). Python quote_plus semantics
+    exactly (space→'+', '~' kept, '*' encoded), golden-tested.
+    """
+    return quote_plus(quote_plus(url))
+
+
+@F.pandas_udf(T.StringType())
+def double_urlencode_udf(urls: pd.Series) -> pd.Series:  # pragma: no cover - spark
+    return urls.map(lambda u: double_urlencode(u) if u is not None else None)
 
 
 @F.pandas_udf(T.StringType())

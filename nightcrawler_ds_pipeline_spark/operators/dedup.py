@@ -251,25 +251,44 @@ SIMHASH_SCHEMA = T.StructType(
 
 
 def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-batch SimHash: md5 each UNIQUE word once, expand the
+    ±1 sign matrix for the whole vocabulary in one shot, and scatter-add
+    per-document with np.add.at — no per-document Python loop. Output is
+    bit-identical to the scalar definition (word-set ±1 votes, bit b set
+    iff acc[b] > 0, two's-complement int64 packing; empty doc → 0)."""
+    import hashlib
+
+    texts = pdf["text"].values
+    word_sets = [set((t or "").lower().split()) for t in texts]
+    vocab: dict[str, int] = {}
+    for ws in word_sets:
+        for w in ws:
+            if w not in vocab:
+                vocab[w] = len(vocab)
     out = np.zeros(len(pdf), dtype=np.int64)
-    for i, text in enumerate(pdf["text"].values):
-        words = set((text or "").lower().split())
-        if not words:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for w in words:
-            h = np.uint64(
-                int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "big")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        val = 0
-        for b in range(64):
-            if acc[b] > 0:
-                val |= 1 << b
-        if val >= 1 << 63:
-            val -= 1 << 64
-        out[i] = val
+    if vocab:
+        hashes = np.empty(len(vocab), dtype=np.uint64)
+        for w, j in vocab.items():
+            hashes[j] = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        bits64 = np.arange(64, dtype=np.uint64)[None, :]
+        signs = (
+            ((hashes[:, None] >> bits64) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )  # (V, 64) ±1 votes
+        n_pairs = sum(len(ws) for ws in word_sets)
+        doc_idx = np.fromiter(
+            (i for i, ws in enumerate(word_sets) for _ in ws),
+            dtype=np.int64, count=n_pairs,
+        )
+        word_idx = np.fromiter(
+            (vocab[w] for ws in word_sets for w in ws),
+            dtype=np.int64, count=n_pairs,
+        )
+        acc = np.zeros((len(pdf), 64), dtype=np.int64)
+        np.add.at(acc, doc_idx, signs[word_idx])
+        packed = ((acc > 0).astype(np.uint64) << bits64).sum(
+            axis=1, dtype=np.uint64
+        )
+        out = packed.view(np.int64)
     return pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
 
 

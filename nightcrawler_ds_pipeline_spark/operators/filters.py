@@ -242,6 +242,31 @@ def project_canonical_urls(spark, sf_dir):
     ).orderBy("url")
 
 
+# F8 — double URL-encode (s03_reverse_image_search.py:47-48): the
+# reverse-image query-URL construction quirk, quote_plus twice. The oracle
+# is the closed form for the synth corpus charset (letters/digits/._- are
+# quote_plus-safe; ':' '/' '?' '=' '&' encode to %XX on pass 1 and the '%'
+# re-encodes to %25 on pass 2).
+@register(
+    "project_double_urlencode",
+    oracle=SYNTH_URLS_CTE
+    + """
+    SELECT url,
+           replace(replace(replace(replace(replace(
+             url, ':', '%253A'), '/', '%252F'), '?', '%253F'),
+             '=', '%253D'), '&', '%2526') AS encoded
+    FROM urls ORDER BY url
+    """,
+)
+def project_double_urlencode(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.urls import double_urlencode_udf
+
+    urls = synth_urls(spark, sf_dir)
+    return urls.select(
+        "url", double_urlencode_udf(F.col("url")).alias("encoded")
+    ).orderBy("url")
+
+
 # P3 — language-path cleaning (utils.py:280-298): /xx-yy/ segments stripped,
 # query dropped.
 @register(

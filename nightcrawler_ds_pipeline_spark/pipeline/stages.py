@@ -39,6 +39,11 @@ class PipelineConfig:
     max_results_per_source: int = 0  # 0 = all (s01:144-146)
     hard_cap: int = 200  # serp_api.py:98-114
     page_type_threshold: float = 0.4  # s07:17
+    page_type_method: str = "zyte"  # s07:95-102: "zyte" | "infer" (P12)
+    # S9: "passthrough" (reference main path, s06:12-35) | "llm_stub"
+    # (deterministic prompt-rule classifier, operators/llm.py)
+    delivery_policy_method: str = "passthrough"
+    fetch_backend: str = "zyte"  # S8: "zyte" | "diffbot" (crawl/backends.py)
     strict_reference_parity: bool = True
     stage_counts: dict = field(default_factory=dict)  # numberOfResultsAfterStage
 
@@ -87,7 +92,11 @@ def s02_keyword_enrichment(serp: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def s04_zyte_fetch(df: DataFrame, responses: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """S6: fetch + product extraction. REPLACE semantics: error rows and
     unfetched URLs vanish (s04_zyte.py:110-112). price concat per F9; image
-    set-dedup per L7 (array_distinct)."""
+    set-dedup per L7 (array_distinct). S8: ``cfg.fetch_backend`` selects the
+    response adapter — diffbot-shaped rows normalize to this schema first."""
+    from nightcrawler_ds_pipeline_spark.crawl.backends import normalize_responses
+
+    responses = normalize_responses(responses, cfg.fetch_backend)
     resp = responses.select(
         "url",
         F.col("error"),
@@ -135,17 +144,45 @@ def s05_data_processor(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def s06_delivery_policy(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    return _count(cfg, "delivery_policy", df)  # pass-through (s06:12-35)
+    """S9: pass-through on the reference main path (s06:12-35). With
+    ``delivery_policy_method="llm_stub"`` attaches the prompt-rule
+    classification columns (is_shipping_<c>_answer/_justification +
+    request-memo key) the reference's LLM stage would produce."""
+    if cfg.delivery_policy_method == "llm_stub":
+        from nightcrawler_ds_pipeline_spark.operators.llm import (
+            classify_delivery_policy,
+        )
+
+        df = classify_delivery_policy(
+            df, text_col="full_description", country=cfg.country.lower()
+        )
+    return _count(cfg, "delivery_policy", df)
 
 
 def s07_page_type(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """P11: pageType threshold — null/0 proba → OTHER (strict >)."""
+    """P11/P12: pageType detection, method-dispatched like s07:95-102.
+
+    - "zyte" (main path, P11): threshold on the extraction probability;
+      null/0 proba → OTHER (strict >, s07:40-53).
+    - "infer" (P12): the binary-inference branch (s07:57-83) — requires an
+      ``html`` column and raises per-row when it's absent/empty (the
+      reference's ``ValueError("Item does not contain HTML content")``);
+      the endpoint itself is dummy-implemented upstream (s07:71-78,
+      ``proba = 0.5``), which we replicate, so every html-bearing row
+      scores 0.5 against the threshold.
+    """
+    if cfg.page_type_method == "infer":
+        html = F.col("html") if "html" in df.columns else F.lit(None).cast("string")
+        proba = F.when(
+            html.isNull() | (F.length(html) == 0),
+            F.raise_error(F.lit("Item does not contain HTML content")),
+        ).otherwise(F.lit(0.5))
+    else:
+        proba = F.coalesce(F.col("zyte_probability"), F.lit(0.0))
     out = df.withColumn(
         "page_type",
-        F.when(
-            F.coalesce(F.col("zyte_probability"), F.lit(0.0)) > cfg.page_type_threshold,
-            F.lit("ecommerce_product"),
-        ).otherwise(F.lit("other")),
+        F.when(proba > cfg.page_type_threshold, F.lit("ecommerce_product"))
+        .otherwise(F.lit("other")),
     )
     return _count(cfg, "page_type", out)
 

@@ -33,6 +33,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         aggregates,
         dedup,
         filters,
+        llm,
         multimodal,
         pipelines,
         scans,
