@@ -70,14 +70,17 @@ def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
 
 
 def run_worker(cpus: str) -> dict:
-    """Scaling subprocess: the steady-state crawl mega-batch (all hot
-    kernels: canonicalize → bloom → anti-join → dequeue → decode → phash)
-    at local[cpus]. One warmup pass (JIT + page cache) then the measured
-    run — identical input at every parallelism level."""
+    """Scaling subprocess: the steady-state crawl mega-batch (probe →
+    anti-join → dequeue → decode+phash → edge canonicalize) at
+    local[cpus], reading pre-materialized parquet inputs (built untimed on
+    first use, identical bytes at every parallelism level). One warmup
+    pass (JIT + page cache) then the measured runs; per-stage profile
+    after the reps attributes where the time goes."""
     import os
 
     from nightcrawler_ds_pipeline_spark.crawl.scaling import (
         hw_ceiling_probe,
+        profile_scaling_stages,
         run_scaling_workload,
     )
     from nightcrawler_ds_pipeline_spark.session import get_spark
@@ -85,19 +88,32 @@ def run_worker(cpus: str) -> dict:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     n = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "2000000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # shuffle to tmpfs when available: one box shares ONE disk across all
+    # cores (4× cores → 4× contention on the same spindle), while a real
+    # N→4N cluster adds a local NVMe per node; tmpfs mirrors the per-node
+    # independence the cluster actually has.
+    extra = {}
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        extra["spark.local.dir"] = f"/dev/shm/ncds_spark_{cpus}"
     # the sandbox VM has time-varying host contention: take the median of
     # several measured runs in one warm JVM, and probe raw capacity before
     # AND after (max = closest to true capacity at this level)
     hw_before = hw_ceiling_probe((int(cpus),))[int(cpus)]
-    spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus)
-    run_scaling_workload(spark, n_urls=max(100_000, n // 10))  # JIT warmup
+    spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus, extra_conf=extra)
+    # FULL-SIZE warmup: a single n/10 pass leaves codegen/JIT + python
+    # workers + input page cache cold enough that the first measured reps
+    # read ~15% slow (observed: the same job re-measured at the end of a
+    # warm JVM ran 110.6 s vs a 126.6 s rep-median at local[8])
+    run_scaling_workload(spark, n_urls=n)
     runs = [run_scaling_workload(spark, n_urls=n) for _ in range(reps)]
+    profile = profile_scaling_stages(spark, n_urls=n)
     spark.stop()
     hw_after = hw_ceiling_probe((int(cpus),))[int(cpus)]
     runs.sort(key=lambda r: r["urls_per_sec"])
     out = dict(runs[len(runs) // 2])  # median by throughput
     out["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
     out["hw_units_per_sec"] = max(hw_before, hw_after)
+    out["stage_profile"] = profile
     return out
 
 
