@@ -41,6 +41,33 @@ def text_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# BPE-ish pre-tokenizer count: the GPT-2 pre-tokenizer splits on
+# optional-space-prefixed letter runs / digit runs / punctuation runs
+# (public pattern). The published regex uses a lookahead, which RE2
+# (DuckDB) lacks, so both engines run this lookahead-free core — letter
+# runs, digit runs, non-alnum runs, each with an optional leading space.
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
 # language-ID: n-gram/stopword-hit heuristic with a fixed precedence order.
 _LANG_MARKERS = {
     "en": ["the", "a", "fast", "slow"],

@@ -66,6 +66,55 @@ def test_whole_stage_codegen_on_narrow_stages(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bucketed_seen_side_has_no_exchange(spark, tmp_path):
+    """SCALE.md §2: the exact anti-join's 160 GB seen side stops shuffling
+    once the seen table is stored bucketed by url_hash — only the (already
+    Bloom-pruned) candidate side exchanges. Evidence: one Exchange total in
+    the bucketed plan, two in the unbucketed plan."""
+    import pyspark.sql.functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'")
+    keys = spark.range(0, 50_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    keys.write.mode("overwrite").format("parquet").bucketBy(
+        8, "url_hash"
+    ).sortBy("url_hash").saveAsTable("bdemo.seen_bucketed")
+    keys.write.mode("overwrite").format("parquet").saveAsTable(
+        "bdemo.seen_plain"
+    )
+    cands = spark.range(25_000, 75_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    # disable AQE broadcast so the join shape (SMJ) is what scale would use
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in with_conf}
+    try:
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        bucketed = cands.join(
+            spark.table("bdemo.seen_bucketed"), "url_hash", "left_anti"
+        )
+        plain = cands.join(
+            spark.table("bdemo.seen_plain"), "url_hash", "left_anti"
+        )
+        n_ex_bucketed = _plan(bucketed).count("Exchange")
+        n_ex_plain = _plan(plain).count("Exchange")
+        assert n_ex_bucketed < n_ex_plain, (n_ex_bucketed, n_ex_plain)
+        # results identical either way
+        assert bucketed.count() == plain.count() == 25_000
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bdemo.seen_bucketed")
+        spark.sql("DROP TABLE IF EXISTS bdemo.seen_plain")
+        spark.sql("DROP DATABASE IF EXISTS bdemo")
+
+
 def test_decode_stage_has_no_bytes_output(spark, t1_dir):
     # the binary column must not survive past the decode UDF (it would ship
     # Python→JVM and enter downstream shuffles)
