@@ -168,6 +168,10 @@ def main() -> None:
 
     spark = get_spark(app_name="ncds-bench", cpus=CPUS)
     qs = e.queries()
+    # JIT/codegen + parquet-footer warmup so the first headline query isn't
+    # charged the session's cold-start (measured ~1-2 s on query 1)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(1000).collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

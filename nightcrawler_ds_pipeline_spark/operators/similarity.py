@@ -192,6 +192,84 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     return embedding_lsh_pairs(spark, emb, threshold=0.9)
 
 
+# IVF ANN — the second scale path (task brief: "an IVF or LSH-bucketed
+# variant"): k-means coarse quantizer (pyspark.ml, seeded), inverted lists
+# keyed by cluster id, queries probe their NPROBE nearest centroids and
+# score exact cosine only inside those lists. All joins are equi-joins on
+# the cluster id; the only broadcast is the k×d centroid table (model
+# metadata, a few KB).
+IVF_CLUSTERS = 16
+IVF_NPROBE = 8
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    spark,
+    emb: DataFrame,
+    num_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("vec", array_to_vector(F.col("embedding")))
+    model = KMeans(
+        k=n_clusters, seed=42, featuresCol="vec", predictionCol="cluster"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cluster")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))  # 5 × k rows — the centroid table
+        .withColumn("dist", _sq_dist(F.col("qe"), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(w_c))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qe", "cluster")
+    )
+    cand = (
+        probes.join(assigned, "cluster")  # equi-join on the inverted-list key
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qe",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    pairs = cand.withColumn(
+        "cos", _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("sim_ann_ivf")  # no oracle — rows-only; recall vs brute force in pytest
+def sim_ann_ivf(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, emb)
+
+
 @register("sim_ann_lsh")  # no oracle — rows-only; recall vs brute force in pytest
 def sim_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")

@@ -27,6 +27,25 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert all(q != n for q, n in approx)
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from nightcrawler_ds_pipeline_spark.operators.similarity import sim_ann_ivf
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf(spark, SF_DIR).collect()
+    }
+    assert approx, "IVF returned nothing"
+    # nprobe 8/16 on isotropic 64-d vectors: probing half the inverted
+    # lists recovers well over half of the true top-10
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f} too low"
+    assert all(q != n for q, n in approx)
+
+
 def test_embedding_lsh_pairs_recall_vs_exact(spark):
     """Semantic-dedup scale path: LSH-bucketed pairs must recover ≥0.9 of
     the exact all-pairs cosine≥0.9 set on a corpus with PLANTED near-dups

@@ -54,3 +54,46 @@ def test_stream_window_agg_matches_batch(spark, tmp_path):
     }
     assert streamed == batched
     assert len(streamed) > 0
+
+
+def test_stream_seen_dedup_across_microbatches(spark, tmp_path):
+    """Streaming twin of the URL-seen set (S13): dropDuplicates on
+    url_hash holds the seen keys as streaming state, so a URL that
+    re-arrives in a later micro-batch is suppressed — the readStream form
+    of the loop's anti-join."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    stream = spark.readStream.schema("url_hash long, iter int").parquet(str(src))
+    out = stream.dropDuplicates(["url_hash"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seen_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    try:
+        # batch 0: hashes 0..99; batch 1: 50..149 (50 re-arrivals)
+        for it, lo in enumerate((0, 50)):
+            pdf = pd.DataFrame(
+                {"url_hash": range(lo, lo + 100), "iter": [it] * 100}
+            )
+            pdf["iter"] = pdf["iter"].astype("int32")
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                str(src / f"b{it}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM seen_out").collect()
+    assert len(rows) == 150  # 100 + only the 50 genuinely-new
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r["iter"], set()).add(r["url_hash"])
+    assert by_iter[0] == set(range(0, 100))
+    assert by_iter[1] == set(range(100, 150))  # re-arrivals suppressed
