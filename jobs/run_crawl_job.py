@@ -48,6 +48,10 @@ def main() -> None:
 
         fixtures = write_fixture_parquet("t2")
 
+    # this job scans the 20 KB-binary images table and may run under a
+    # small spark-submit heap: cap the vectorized reader batch (512 rows ×
+    # 20 KB ≈ 10 MB/task) unless the operator overrides it
+    os.environ.setdefault("SPARK_GRAFT_COLUMNAR_BATCH", "512")
     spark = get_spark(app_name="ncds-crawl-job")
     catalog = SnapshotCatalog(args.catalog)
     cfg = CrawlConfig(

@@ -48,9 +48,15 @@ def get_spark(
         # binary image payloads average ~20 KB/row: 2048 rows/Arrow batch
         # caps per-task batch memory at ~40 MB (10k rows → 200 MB → spills)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # same sizing for the vectorized parquet reader: the default 4096-row
-        # column batches × 20 KB binary × tasks OOM a 1 GB spark-submit heap
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # vectorized parquet reader batch: the 4096-row default. Measured:
+        # dropping it to 512 halves scan-bound query throughput (TPC-H Q1
+        # 0.46 s → 0.75 s warm at sf0.1). Low-heap spark-submit runs that
+        # scan the 20 KB-binary images table should override to 512 via
+        # SPARK_GRAFT_COLUMNAR_BATCH (jobs/run_crawl_job.py does)
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_COLUMNAR_BATCH", "4096"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # deterministic Python hashing inside UDF workers
