@@ -1,0 +1,118 @@
+"""robots.txt parsing as DataFrame algebra (north_rule: "robots.txt cache").
+
+Input: one row per fetched robots.txt body — (host, body). Output: the
+politeness table shape the dequeue consumes — (host, crawl_delay_ms,
+disallow_prefixes).
+
+Grammar handled (the de-facto core of REP, per the public robots.txt RFC
+9309 semantics the engine needs):
+- line-oriented; ``#`` starts a comment; blank lines ignored
+- ``User-agent:`` lines open a group; consecutive UA lines share the group
+- ``Disallow:`` / ``Crawl-delay:`` lines apply to the current group
+- a group applies to us if any of its UA lines is ``*`` or our agent name
+- empty ``Disallow:`` means allow-all (contributes no prefix)
+- unknown directives ignored
+
+Implementation is pure column algebra — explode lines, window-number the
+UA groups per host, propagate group membership, aggregate the applicable
+groups — so it runs JVM-side at any number of hosts with one shuffle per
+window/agg on ``host`` (the natural key). No Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_AGENT = "nightcrawler"
+
+
+def parse_robots(
+    raw: DataFrame,
+    agent: str = DEFAULT_AGENT,
+    default_crawl_delay_ms: int = 1000,
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay_ms, disallow_prefixes).
+
+    Hosts whose body has no applicable group (or an unfetchable/empty
+    body) fall back to the default delay with no disallows — the same
+    permissive default `politeness.robots_filter` applies to unknown
+    hosts.
+    """
+    lines = raw.select(
+        "host",
+        F.posexplode(F.split(F.coalesce(F.col("body"), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    # strip comments + whitespace; split into (directive, value)
+    cleaned = (
+        lines.withColumn("line", F.trim(F.split_part(F.col("line"), F.lit("#"), F.lit(1))))
+        .filter(F.col("line") != "")
+        .withColumn("directive", F.lower(F.trim(F.split_part("line", F.lit(":"), F.lit(1)))))
+        .withColumn(
+            "value",
+            F.trim(
+                F.expr("substring(line, instr(line, ':') + 1, length(line))")
+            ),
+        )
+        .filter(F.expr("instr(line, ':')") > 0)
+    )
+    # group id: a UA line that does NOT directly follow another UA line
+    # starts a new group (consecutive UA lines share one group header)
+    w = Window.partitionBy("host").orderBy("pos")
+    tagged = cleaned.withColumn("is_ua", F.col("directive") == "user-agent")
+    tagged = tagged.withColumn(
+        "ua_starts_group",
+        F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+    )
+    grouped = tagged.withColumn(
+        "group_id",
+        F.sum(F.col("ua_starts_group").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(F.col("group_id") > 0)  # directives before any UA line: ignored
+
+    # does the group apply to us? any UA line == '*' or our agent
+    applies = (
+        grouped.filter(F.col("is_ua"))
+        .groupBy("host", "group_id")
+        .agg(
+            F.max(
+                (F.col("value") == "*") | (F.lower("value") == agent.lower())
+            ).alias("applicable")
+        )
+    )
+    rules = (
+        grouped.filter(~F.col("is_ua"))
+        .join(applies, ["host", "group_id"])
+        .filter(F.col("applicable"))
+    )
+    parsed = rules.groupBy("host").agg(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        (F.col("directive") == "disallow") & (F.col("value") != ""),
+                        F.col("value"),
+                    )
+                )
+            )
+        ).alias("disallow_prefixes"),
+        F.min(
+            F.when(
+                F.col("directive") == "crawl-delay",
+                (F.col("value").cast("double") * 1000).cast("int"),
+            )
+        ).alias("delay_ms"),
+    )
+    out = raw.select("host").distinct().join(parsed, "host", "left")
+    return out.select(
+        "host",
+        F.coalesce(F.col("delay_ms"), F.lit(default_crawl_delay_ms)).alias(
+            "crawl_delay_ms"
+        ),
+        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")).alias(
+            "disallow_prefixes"
+        ),
+    )

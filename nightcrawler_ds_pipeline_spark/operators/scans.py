@@ -201,3 +201,48 @@ def stream_sessionize(spark, sf_dir):
         .agg(F.sum("new_session").cast("long").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+# robots.txt text parsing (north_rule "robots.txt cache"): the DataFrame-
+# native parser over a deterministic per-host body corpus. The oracle is
+# the CLOSED FORM of each body archetype (like project_canonical_urls):
+# the parser's expected output for the 3 synthesized robots.txt texts.
+_ROBOTS_BODIES = [
+    # archetype 0: wildcard group + inapplicable group
+    "# site robots\nUser-agent: *\nDisallow: /admin # note\nDisallow: /cart\n"
+    "Crawl-delay: 2.5\n\nUser-agent: otherbot\nDisallow: /\n",
+    # archetype 1: shared UA header (named + wildcard groups both apply)
+    "User-agent: googlebot\nUser-agent: nightcrawler\nDisallow: /private\n"
+    "Crawl-delay: 1\n\nUser-agent: *\nDisallow: /tmp\n",
+    # archetype 2: nothing applicable -> permissive defaults
+    "User-agent: otherbot\nDisallow: /\n",
+]
+
+
+@register(
+    "robots_parse",
+    oracle="""
+    SELECT concat('host', CAST(o_orderkey AS VARCHAR)) AS host,
+           CASE CAST(o_orderkey % 3 AS INTEGER)
+             WHEN 0 THEN 2500 WHEN 1 THEN 1000 ELSE 1000 END AS crawl_delay_ms,
+           CASE CAST(o_orderkey % 3 AS INTEGER)
+             WHEN 0 THEN ['/admin', '/cart']
+             WHEN 1 THEN ['/private', '/tmp']
+             ELSE [] END AS disallow_prefixes
+    FROM orders ORDER BY host
+    """,
+)
+def robots_parse(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.robots import parse_robots
+
+    orders = read_table(spark, sf_dir, "orders")
+    body = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(_ROBOTS_BODIES[0]))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(_ROBOTS_BODIES[1]))
+        .otherwise(F.lit(_ROBOTS_BODIES[2]))
+    )
+    raw = orders.select(
+        F.concat(F.lit("host"), F.col("o_orderkey").cast("string")).alias("host"),
+        body.alias("body"),
+    )
+    return parse_robots(raw).orderBy("host")
