@@ -64,6 +64,10 @@ class CrawlConfig:
     # never decides); the cuckoo filter (crawl/cuckoo.py) is the
     # deletion-capable sketch for TTL-heavy workloads.
     ttl_iters: int | None = None
+    # compact the append-mode state tables (seen/results) every k committed
+    # iterations — bounds the small-file count the next iteration scans
+    # (SnapshotCatalog.compact; the Iceberg rewrite_data_files analogue)
+    compact_every: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -366,6 +370,13 @@ def run_crawl(
             )
         )
         catalog.write(lineage, "lineage", mode="append", meta=meta)  # COMMIT
+
+        # post-commit maintenance: compaction rewrites only FINALIZED state
+        # (its snapshot carries meta.iter = it, so crash-resume semantics
+        # are unchanged — see SnapshotCatalog.compact)
+        if cfg.compact_every and (it + 1) % cfg.compact_every == 0:
+            catalog.compact(spark, "seen")
+            catalog.compact(spark, "results")
 
         summary.append(
             {

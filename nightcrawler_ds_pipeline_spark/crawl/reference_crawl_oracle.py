@@ -41,6 +41,8 @@ class OracleState:
     crawl_order: list[tuple[int, int, int]] = field(default_factory=list)
     seen: set[int] = field(default_factory=set)
     tokens: dict[str, int] = field(default_factory=dict)
+    # latest iteration each url_hash was crawled (TTL re-crawl semantics)
+    seen_iters: dict[int, int] = field(default_factory=dict)
 
 
 def _host(url: str) -> str:
@@ -56,9 +58,23 @@ def run_crawl_oracle(
     window_ms: int = 60_000,
     max_per_host: int = 100,
     outlink_priority_decay: float = 0.5,
+    ttl_iters: int | None = None,
 ) -> OracleState:
-    """Replay the crawl; returns crawl order + seen set + bucket levels."""
+    """Replay the crawl; returns crawl order + seen set + bucket levels.
+
+    ``ttl_iters`` mirrors CrawlConfig.ttl_iters: a seen entry only
+    suppresses re-adding while ``seen_iter > it - ttl_iters`` — an expired
+    URL rediscovered via outlinks re-enters the frontier and is re-crawled.
+    """
     robots = {r["host"]: r for r in robots_rows}
+
+    def is_active_seen(uh: int, it: int) -> bool:
+        si = st.seen_iters.get(uh)
+        if si is None:
+            return False
+        if ttl_iters is None:
+            return True
+        return si > it - ttl_iters
 
     # seed frontier (loop.seed_frontier semantics)
     frontier: dict[int, dict] = {}  # url_hash -> row
@@ -124,6 +140,7 @@ def run_crawl_oracle(
         for seq, row in enumerate(batch, start=1):
             st.crawl_order.append((it, seq, row["url_hash"]))
             st.seen.add(row["url_hash"])
+            st.seen_iters[row["url_hash"]] = it
             del frontier[row["url_hash"]]
 
         # remaining frontier keeps only robots-allowed rows (permanent drop)
@@ -138,7 +155,7 @@ def run_crawl_oracle(
             for link in resp.get("outlinks") or []:
                 cu = canonicalize(link)
                 uh = url_hash.get(cu)
-                if uh is None or uh in st.seen or uh in frontier:
+                if uh is None or is_active_seen(uh, it) or uh in frontier:
                     continue
                 prio = row["priority"] * outlink_priority_decay
                 cur = frontier.get(uh)

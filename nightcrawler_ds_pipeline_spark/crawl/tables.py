@@ -133,6 +133,51 @@ class SnapshotCatalog:
         if os.path.exists(tdir):
             shutil.rmtree(tdir)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        num_files: int | None = None,
+        vacuum: bool = False,
+    ) -> int | None:
+        """Rewrite the table's LIVE state as one overwrite snapshot (the
+        Iceberg `rewrite_data_files` analogue). Append-mode tables grow one
+        snapshot per iteration — at 10^10 scale thousands of small files
+        per table — so periodic compaction keeps the scan-side file count
+        bounded. The compacted snapshot carries the max iter seen, so
+        exact resume at or above that iteration is unaffected; resuming
+        BELOW it still works because the superseded snapshots stay in the
+        manifest (``rollback_above`` drops the compaction and re-exposes
+        them) — unless ``vacuum=True``, which trades that time travel for
+        reclaimed disk (prunes superseded manifest entries + dirs).
+
+        Returns the new snapshot id, or None if there is nothing to do.
+        """
+        snaps = self._load_manifest(table)
+        live: list[dict] = []
+        for s in snaps:
+            live = [s] if s["mode"] == "overwrite" else live + [s]
+        if len(live) <= 1:
+            return None
+        df = spark.read.parquet(*[s["dir"] for s in live])
+        if num_files is None:
+            num_files = max(1, spark.sparkContext.defaultParallelism)
+        max_it = max(s["meta"].get("iter", -1) for s in snaps)
+        snap_id = self.write(
+            df.coalesce(num_files),
+            table,
+            mode="overwrite",
+            meta={"iter": max_it, "compacted_from": [s["id"] for s in live]},
+        )
+        if vacuum:
+            snaps = self._load_manifest(table)
+            keep = [s for s in snaps if s["id"] == snap_id]
+            dead = [s for s in snaps if s["id"] != snap_id]
+            self._commit_manifest(table, keep)
+            for s in dead:
+                shutil.rmtree(s["dir"], ignore_errors=True)
+        return snap_id
+
 
 class IcebergCatalog:  # pragma: no cover - requires iceberg jars
     """Real Iceberg-backed catalog — same interface, used on clusters where

@@ -1,0 +1,76 @@
+"""Snapshot compaction: live state identical, snapshot count bounded,
+resume and time travel preserved (vacuum trades the latter for disk)."""
+
+import pyspark.sql.functions as F
+
+from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+
+
+def _mk(spark, lo, hi, it):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("url_hash"), F.lit(it).alias("seen_iter")
+    )
+
+
+def test_compact_preserves_state_and_bounds_snapshots(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"))
+    for it in range(5):
+        cat.write(_mk(spark, it * 10, it * 10 + 10, it), "seen",
+                  mode="append", meta={"iter": it})
+    before = cat.read(spark, "seen")
+    rows_before = sorted(r["url_hash"] for r in before.collect())
+    assert len(cat.snapshots("seen")) == 5
+
+    snap_id = cat.compact(spark, "seen", num_files=2)
+    assert snap_id is not None
+    after = cat.read(spark, "seen")
+    assert sorted(r["url_hash"] for r in after.collect()) == rows_before
+    # live set is ONE snapshot now; re-compacting is a no-op
+    assert cat.compact(spark, "seen") is None
+    # appends continue normally on top of the compacted base
+    cat.write(_mk(spark, 100, 110, 5), "seen", mode="append", meta={"iter": 5})
+    assert cat.read(spark, "seen").count() == 60
+
+
+def test_compact_time_travel_and_vacuum(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c2"))
+    for it in range(4):
+        cat.write(_mk(spark, it * 10, it * 10 + 10, it), "seen",
+                  mode="append", meta={"iter": it})
+    cat.compact(spark, "seen")
+    # resume at/above the compaction point sees compacted state
+    assert cat.read(spark, "seen", max_iter=3).count() == 40
+    # rolling back BELOW the compaction re-exposes the originals
+    cat.rollback_above(1)
+    assert cat.read(spark, "seen").count() == 20
+
+    # vacuum: superseded snapshots pruned from manifest AND disk
+    for it in range(2, 4):
+        cat.write(_mk(spark, it * 10, it * 10 + 10, it), "seen",
+                  mode="append", meta={"iter": it})
+    import os
+
+    dirs_before = {s["dir"] for s in cat.snapshots("seen")}
+    cat.compact(spark, "seen", vacuum=True)
+    snaps = cat.snapshots("seen")
+    assert len(snaps) == 1 and "compacted_from" in snaps[0]["meta"]
+    assert cat.read(spark, "seen").count() == 40
+    for d in dirs_before:
+        assert not os.path.exists(d)
+
+
+def test_loop_with_compaction_matches_plain_run(spark, t1_dir, tmp_path):
+    cfg_plain = CrawlConfig(iterations=3)
+    cfg_comp = CrawlConfig(iterations=3, compact_every=1)
+    cat_a = SnapshotCatalog(str(tmp_path / "a"))
+    cat_b = SnapshotCatalog(str(tmp_path / "b"))
+    run_crawl(spark, cat_a, t1_dir, cfg_plain)
+    run_crawl(spark, cat_b, t1_dir, cfg_comp)
+    for table in ("results", "seen"):
+        a = cat_a.read(spark, table)
+        b = cat_b.read(spark, table)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # compaction actually bounded the seen snapshot chain
+    assert len([s for s in cat_b.snapshots("seen") if s["mode"] == "overwrite"]) >= 1

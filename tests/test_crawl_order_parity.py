@@ -66,6 +66,44 @@ def test_crawl_order_and_seen_set_match_oracle(spark, t1_dir, tmp_path):
     )
 
 
+def test_crawl_order_parity_with_ttl(spark, t1_dir, tmp_path):
+    """TTL re-crawl must stay exactly order-parity: expired URLs
+    rediscovered via outlinks re-dequeue identically in engine and
+    oracle (the re-crawl rows make (iter, seq, url_hash) non-unique per
+    url_hash, so this exercises the whole TTL path)."""
+    cfg = CrawlConfig(iterations=5, max_per_host=10, window_ms=10_000,
+                      ttl_iters=2)
+    catalog = SnapshotCatalog(str(tmp_path / "cat_ttl"))
+    run_crawl(spark, catalog, t1_dir, cfg)
+    results = catalog.read(spark, "results")
+    spark_order = sorted(
+        (r["iter"], r["seq"], r["url_hash"])
+        for r in results.select("iter", "seq", "url_hash").collect()
+    )
+    serp_rows = [r.asDict() for r in spark.read.parquet(
+        f"{t1_dir}/serp_results.parquet").collect()]
+    resp_rows = {
+        r["url"]: r.asDict()
+        for r in spark.read.parquet(f"{t1_dir}/fetch_responses.parquet").collect()
+    }
+    robots_rows = [r.asDict() for r in spark.read.parquet(
+        f"{t1_dir}/robots.parquet").collect()]
+    all_urls = [r["url"] for r in serp_rows] + [
+        l for resp in resp_rows.values() for l in (resp.get("outlinks") or [])
+    ]
+    oracle = run_crawl_oracle(
+        serp_rows, resp_rows, robots_rows, _hash_map(spark, all_urls),
+        iterations=cfg.iterations, window_ms=cfg.window_ms,
+        max_per_host=cfg.max_per_host,
+        outlink_priority_decay=cfg.outlink_priority_decay,
+        ttl_iters=cfg.ttl_iters,
+    )
+    assert spark_order == sorted(oracle.crawl_order)
+    # TTL actually re-crawled something (else this test is vacuous)
+    hashes = [h for _, _, h in spark_order]
+    assert len(hashes) > len(set(hashes)), "no re-crawl happened under TTL"
+
+
 def test_image_gates_in_crawl_results(spark, t1_dir, tmp_path):
     """Decoded dims + phash equal the stored truth (PSNR gate holds by
     codec tests + pinned phash); caption byte-equal (BASELINE metric)."""
