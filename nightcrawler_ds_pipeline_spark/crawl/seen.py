@@ -76,6 +76,7 @@ def build_bloom_partitions(
     out_schema = T.StructType(
         [
             T.StructField("partition_id", T.IntegerType(), False),
+            T.StructField("num_partitions", T.IntegerType(), False),
             T.StructField("num_bits", T.LongType(), False),
             T.StructField("num_hashes", T.IntegerType(), False),
             T.StructField("bitset", T.BinaryType(), False),
@@ -92,6 +93,7 @@ def build_bloom_partitions(
         return pd.DataFrame(
             {
                 "partition_id": [pid],
+                "num_partitions": [num_partitions],
                 "num_bits": [num_bits],
                 "num_hashes": [num_hashes],
                 "bitset": [bits.tobytes()],
@@ -109,6 +111,7 @@ def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("partition_id", T.IntegerType(), False),
+            T.StructField("num_partitions", T.IntegerType(), False),
             T.StructField("num_bits", T.LongType(), False),
             T.StructField("num_hashes", T.IntegerType(), False),
             T.StructField("bitset", T.BinaryType(), False),
@@ -117,6 +120,22 @@ def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sketches are only OR-compatible with identical geometry — a
+        # silent mix (e.g. num_bits changed between runs) would corrupt
+        # membership into FALSE NEGATIVES, i.e. duplicate crawls
+        if (
+            pdf["num_bits"].nunique() > 1
+            or pdf["num_hashes"].nunique() > 1
+            or pdf["num_partitions"].nunique() > 1
+        ):
+            raise ValueError(
+                "incompatible Bloom sketch geometry in partition "
+                f"{int(pdf['partition_id'].iloc[0])}: num_partitions="
+                f"{sorted(pdf['num_partitions'].unique())} num_bits="
+                f"{sorted(pdf['num_bits'].unique())} num_hashes="
+                f"{sorted(pdf['num_hashes'].unique())} — rebuild the Bloom "
+                "from the seen table instead of merging across configs"
+            )
         acc = None
         for raw in pdf["bitset"].values:
             arr = np.frombuffer(raw, dtype=np.uint8)
@@ -125,6 +144,7 @@ def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
         return pd.DataFrame(
             {
                 "partition_id": [first["partition_id"]],
+                "num_partitions": [first["num_partitions"]],
                 "num_bits": [first["num_bits"]],
                 "num_hashes": [first["num_hashes"]],
                 "bitset": [acc.tobytes()],
@@ -157,6 +177,15 @@ def bloom_suspect_keys(
         # no sketch row for this partition → no key of it was ever inserted
         if cand_pdf.empty or sk_pdf.empty:
             return pd.DataFrame({key: pd.Series([], dtype="int64")})
+        stored_p = int(sk_pdf["num_partitions"].iloc[0])
+        if stored_p != num_partitions:
+            # a modulus mismatch silently places keys in the WRONG sketch
+            # → Bloom false negatives → duplicate crawls; fail loudly
+            raise ValueError(
+                f"Bloom probe modulus {num_partitions} != stored sketch "
+                f"modulus {stored_p}: the seen-set Bloom was built with a "
+                "different bloom_partitions — rebuild it from the seen table"
+            )
         bits = np.frombuffer(sk_pdf["bitset"].iloc[0], dtype=np.uint8)
         num_bits = int(sk_pdf["num_bits"].iloc[0])
         num_hashes = int(sk_pdf["num_hashes"].iloc[0])
@@ -168,7 +197,9 @@ def bloom_suspect_keys(
     keyed = candidates.select(key).withColumn(
         "__pid", F.pmod(F.col(key), F.lit(num_partitions)).cast("int")
     )
-    sketches = bloom_df.select("partition_id", "num_bits", "num_hashes", "bitset")
+    sketches = bloom_df.select(
+        "partition_id", "num_partitions", "num_bits", "num_hashes", "bitset"
+    )
     return (
         keyed.groupBy("__pid")
         .cogroup(sketches.groupBy("partition_id"))
@@ -195,6 +226,12 @@ def bloom_maybe_seen_udf(
     rows = bloom_df.collect()
     if not rows:
         return None
+    bad = {int(r["num_partitions"]) for r in rows} - {num_partitions}
+    if bad:
+        raise ValueError(
+            f"Bloom probe modulus {num_partitions} != stored sketch modulus "
+            f"{sorted(bad)}: rebuild the Bloom from the seen table"
+        )
     parts = {
         int(r["partition_id"]): (
             np.frombuffer(r["bitset"], dtype=np.uint8),

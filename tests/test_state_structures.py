@@ -128,6 +128,26 @@ def test_filter_unseen_probe_modes_agree(spark):
     assert co.exceptAll(bc).count() == 0 and bc.exceptAll(co).count() == 0
 
 
+def test_bloom_modulus_mismatch_fails_loudly(spark):
+    """A probe with a different bloom_partitions than the stored sketches
+    would silently produce false negatives (duplicate crawls) — both probe
+    paths must refuse instead."""
+    import pytest
+
+    keys = spark.range(0, 2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    bloom = build_bloom_partitions(keys, num_partitions=8)
+    with pytest.raises(Exception, match="modulus"):
+        bloom_suspect_keys(keys, bloom, num_partitions=4).count()
+    with pytest.raises(Exception, match="modulus"):
+        bloom_maybe_seen_udf(spark, bloom, num_partitions=4)
+    # geometry mixes refuse to merge
+    other = build_bloom_partitions(keys, num_partitions=8, num_bits=1 << 12)
+    with pytest.raises(Exception, match="geometry"):
+        merge_bloom_tables(bloom, other).count()
+
+
 def test_cuckoo_insert_lookup_delete():
     cf = CuckooFilter(num_buckets=1 << 12)
     keys = np.random.default_rng(7).integers(-(2**62), 2**62, size=5000, dtype=np.int64)
