@@ -33,10 +33,12 @@ HEADLINE = [
     "filter_swiss_flags",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_lsh_pairs",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "text_token_count",
     "text_lang_id",
+    "robots_parse",
 ]
 
 
