@@ -110,6 +110,12 @@ def run_worker(cpus: str) -> dict:
     runs = [run_scaling_workload(spark, n_urls=n) for _ in range(reps)]
     profile = profile_scaling_stages(spark, n_urls=n)
     spark.stop()
+    if "spark.local.dir" in extra:
+        import shutil
+
+        # Spark empties its own blockmgr dirs on stop; this catches the
+        # crashed-run case so tmpfs (RAM) never accumulates across rounds
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
     hw_after = hw_ceiling_probe((int(cpus),))[int(cpus)]
     runs.sort(key=lambda r: r["urls_per_sec"])
     out = dict(runs[len(runs) // 2])  # median by throughput
