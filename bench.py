@@ -133,10 +133,20 @@ def scaling_runs() -> dict:
             [sys.executable, __file__, "--worker", cpus],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=2400,
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-        results[f"local[{cpus}]"] = json.loads(line)
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            parsed = {}
+        if not parsed:
+            # a silently-dead worker must be attributable, not a row of nulls
+            parsed = {
+                "error": f"worker rc={proc.returncode}",
+                "stderr_tail": (proc.stderr or "")[-400:],
+            }
+        results[f"local[{cpus}]"] = parsed
     t8 = results["local[8]"].get("urls_per_sec") or 0
     t32 = results["local[32]"].get("urls_per_sec") or 0
     # N → 4N cores on identical input; efficiency = speedup / 4 (target ≥0.8)

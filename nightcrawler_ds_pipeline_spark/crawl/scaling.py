@@ -154,10 +154,22 @@ def prepare_scaling_inputs(
     the production frontier table stores them), the ~30%% seen set, and
     its Bloom sketch table — all parquet."""
     import os
+    import shutil
 
+    from nightcrawler_ds_pipeline_spark.crawl.seen import BLOOM_SCHEMA
+
+    # fingerprint the materialized schemas into the marker: when a table's
+    # schema evolves (e.g. the bloom rows gained num_partitions), stale
+    # cached inputs must regenerate, not crash the probe with a missing
+    # column mid-bench
+    fingerprint = f"v2 bloom={BLOOM_SCHEMA.simpleString()}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
     frontier = with_canonical(synth_frontier(spark, n_urls), "url")
     frontier.write.mode("overwrite").parquet(f"{out_dir}/frontier.parquet")
     frontier = spark.read.parquet(f"{out_dir}/frontier.parquet")
@@ -170,7 +182,7 @@ def prepare_scaling_inputs(
         f"{out_dir}/bloom.parquet"
     )
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(fingerprint)
     return out_dir
 
 

@@ -41,6 +41,19 @@ DEFAULT_NUM_PARTITIONS = 32
 DEFAULT_BITS_PER_PARTITION = 1 << 20  # 128 KiB/partition locally; scale at prod
 DEFAULT_NUM_HASHES = 7
 
+# one row per pmod(key, P) partition; num_partitions is stored IN the rows
+# so probes can detect a modulus mismatch (silent false negatives otherwise)
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("num_partitions", T.IntegerType(), False),
+        T.StructField("num_bits", T.LongType(), False),
+        T.StructField("num_hashes", T.IntegerType(), False),
+        T.StructField("bitset", T.BinaryType(), False),
+        T.StructField("num_items", T.LongType(), False),
+    ]
+)
+
 _SPLITMIX_1 = np.uint64(0x9E3779B97F4A7C15)
 _SPLITMIX_2 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLITMIX_3 = np.uint64(0x94D049BB133111EB)
@@ -73,16 +86,6 @@ def build_bloom_partitions(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Build one Bloom sketch per pmod(key, P) partition via applyInPandas."""
-    out_schema = T.StructType(
-        [
-            T.StructField("partition_id", T.IntegerType(), False),
-            T.StructField("num_partitions", T.IntegerType(), False),
-            T.StructField("num_bits", T.LongType(), False),
-            T.StructField("num_hashes", T.IntegerType(), False),
-            T.StructField("bitset", T.BinaryType(), False),
-            T.StructField("num_items", T.LongType(), False),
-        ]
-    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["__pid"].iloc[0])
@@ -102,22 +105,12 @@ def build_bloom_partitions(
         )
 
     keyed = df.select(key).withColumn("__pid", F.pmod(F.col(key), F.lit(num_partitions)).cast("int"))
-    return keyed.groupBy("__pid").applyInPandas(build, schema=out_schema)
+    return keyed.groupBy("__pid").applyInPandas(build, schema=BLOOM_SCHEMA)
 
 
 def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     """OR-merge two compatible Bloom tables partition-wise (pure Spark agg)."""
     both = a.unionByName(b)
-    schema = T.StructType(
-        [
-            T.StructField("partition_id", T.IntegerType(), False),
-            T.StructField("num_partitions", T.IntegerType(), False),
-            T.StructField("num_bits", T.LongType(), False),
-            T.StructField("num_hashes", T.IntegerType(), False),
-            T.StructField("bitset", T.BinaryType(), False),
-            T.StructField("num_items", T.LongType(), False),
-        ]
-    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         # sketches are only OR-compatible with identical geometry — a
@@ -152,7 +145,7 @@ def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
             }
         )
 
-    return both.groupBy("partition_id").applyInPandas(merge, schema=schema)
+    return both.groupBy("partition_id").applyInPandas(merge, schema=BLOOM_SCHEMA)
 
 
 def bloom_suspect_keys(
