@@ -292,7 +292,46 @@ def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
 
 
-@register("dedup_simhash")  # no oracle — rows-only check + pytest
+# DuckDB twin: md5_number_upper(w) is the LITTLE-endian uint64 of md5's
+# first 8 bytes, while the engine packs them big-endian — bit b of the
+# engine's word hash is bit m = 8*(7 - b//8) + b%8 of DuckDB's number, so
+# the VALUES table below carries the (b, m) remap. Vote/threshold/packing
+# arithmetic is otherwise identical (two's-complement int64 at the end).
+_SIMHASH_BITS_ROWS = ", ".join(
+    f"({b}, {8 * (7 - b // 8) + b % 8})" for b in range(64)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH bits(b, m) AS (VALUES {_SIMHASH_BITS_ROWS}),
+    words AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE trim(COALESCE(text, '')) <> ''
+    ),
+    votes AS (
+      SELECT doc_id, bits.b AS b,
+             SUM(CASE WHEN (md5_number_upper(w) >> bits.m) & 1 = 1
+                 THEN 1 ELSE -1 END) AS acc
+      FROM words CROSS JOIN bits GROUP BY doc_id, bits.b
+    ),
+    packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b
+                 ELSE CAST(0 AS UBIGINT) END) AS uval
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN COALESCE(p.uval, 0) >= 9223372036854775808
+                     THEN COALESCE(p.uval, 0) - 18446744073709551616
+                     ELSE COALESCE(p.uval, 0) END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
