@@ -102,7 +102,9 @@ def parse_robots(
         F.min(
             F.when(
                 F.col("directive") == "crawl-delay",
-                (F.col("value").cast("double") * 1000).cast("int"),
+                # try_cast: a malformed delay ("Crawl-delay: fast") is
+                # ignored, never a job-killing ANSI cast error
+                (F.col("value").try_cast("double") * 1000).try_cast("int"),
             )
         ).alias("delay_ms"),
     )
