@@ -1,0 +1,214 @@
+"""Connected components over near-duplicate candidate pairs → dedup groups.
+
+The missing last step of a real dedup pipeline: LSH (MinHash / SimHash /
+embedding) emits candidate PAIRS, but keep/drop decisions need GROUPS —
+every document labeled with the canonical (minimum) id of its duplicate
+cluster, including transitive duplicates that never shared a band.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the standard shuffle-based
+CC algorithm, converging in O(log n) rounds:
+
+- large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u})
+- small-star(u): over edges directed high→low, attach every neighbor
+  (all ≤ u) and u itself to m = min(N(u) ∪ {u})
+
+Each round is one groupBy(node) + one equi-join on node id — plain hash
+shuffles on the node key that AQE can re-plan for skew; per-round state
+is localCheckpoint()ed so the lineage (and task closure) stays O(1) in
+the round count. The only driver-side data is a (count, checksum) pair
+per round for the convergence test — never the edge set itself, so the
+same loop runs unchanged on a 10^10-edge frontier.
+
+Reference tie-in: the reference dedups row-at-a-time inside one process
+(s05_dataprocessor.py drop_duplicates); transitive grouping at cluster
+scale needs exactly this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark.registry import register
+from nightcrawler_ds_pipeline_spark.operators.sqlfrags import read_table
+from nightcrawler_ds_pipeline_spark.operators.dedup import (
+    dedup_minhash_lsh_pairs,
+    _minhash_sql_cols,
+    _WORDS_DUCK,
+)
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent checksum) of an edge set — the convergence
+    probe. Two scalars cross the driver per round, never rows."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = both.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", "u").alias("m")
+    )
+    return (
+        both.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = directed.join(mins, "u")
+    nbr_edges = with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = with_min.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id of its component.
+
+    ``edges``: two same-typed orderable columns (first = one endpoint,
+    second = the other; direction ignored, self-loops fine) — longs, strings,
+    anything with a total order. ``nodes``: optional one-column frame of ALL
+    node ids — isolated nodes (no edges) come back labeled with themselves.
+    Returns (node, component), one row per node. Deterministic: the fixpoint
+    of star rounds is unique (a star forest rooted at each component's
+    minimum), independent of partitioning.
+    """
+    ecols = edges.columns
+    e = (
+        edges.select(F.col(ecols[0]).alias("u"), F.col(ecols[1]).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    n, h = _edge_fingerprint(e)
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n2, h2 = _edge_fingerprint(e)
+        if (n2, h2) == (n, h):
+            break
+        n, h = n2, h2
+    else:  # pragma: no cover — star rounds converge in O(log n) ≪ 30
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    # fixpoint edge set is a star forest: u → component root (= min id)
+    labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    roots = e.select(F.col("v").alias("node")).distinct().join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    out = labels.union(roots)
+    if nodes is not None:
+        ncol = nodes.columns[0]
+        allnodes = nodes.select(F.col(ncol).alias("node")).distinct()
+        isolated = allnodes.join(out.select("node"), "node", "left_anti").withColumn(
+            "component", F.col("node")
+        )
+        out = out.union(isolated)
+    return out
+
+
+# --- registered query: MinHash-LSH pairs → transitive dedup groups -----------
+# Oracle: DuckDB recursive CTE (min-label reachability) over the SAME pair
+# SQL as dedup_minhash_lsh_pairs — an algorithm-independent ground truth.
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, concat(h0, h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200),
+    reach(n, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.n
+    ),
+    comp AS (
+      SELECT n AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY n
+    )
+    SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+           CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    nodes = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"), nodes=nodes)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("group_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("group_id"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- reuse: phash near-dup pairs → image dup groups (rows-only; binary
+# codec upstream has no SQL twin — pytest pins a planted-cluster case) -------
+@register("image_phash_groups")
+def image_phash_groups(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.operators.multimodal import (
+        image_phash_neardup,
+    )
+
+    pairs = image_phash_neardup(spark, sf_dir)
+    ids = pairs.select(F.col("id_a").alias("image_id")).union(
+        pairs.select(F.col("id_b"))
+    ).distinct()
+    cc = connected_components(pairs.select("id_a", "id_b"), nodes=ids)
+    return (
+        cc.select(
+            F.col("node").alias("image_id"),
+            F.col("component").alias("group_id"),
+        )
+        .orderBy("image_id")
+    )

@@ -186,7 +186,21 @@ def embedding_lsh_pairs(
 # the 100TB semantic-dedup path: same output shape as the exact
 # dedup_embedding_cosine_pairs (which stays as its bounded recall oracle),
 # but candidates come from the LSH bucket join — no all-pairs anywhere.
-@register("dedup_embedding_lsh_pairs")  # rows-only; recall pinned in pytest
+# Oracle: the exact all-pairs ground truth over the FULL table. The LSH
+# candidate union misses a qualifying pair with p≈3e-4 (see
+# embedding_lsh_pairs docstring), and the hyperplanes are seed-fixed, so
+# equality with the exact answer on the driver data is deterministic —
+# verified by this very oracle; recall on data WITH planted near-dups is
+# additionally pinned ≥0.9 in tests/test_similarity_recall.py.
+@register(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_DUCK}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_DUCK} >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_embedding_lsh_pairs(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_lsh_pairs(spark, emb, threshold=0.9)

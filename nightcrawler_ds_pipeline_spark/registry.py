@@ -31,6 +31,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for side effects — each module registers its queries
     from nightcrawler_ds_pipeline_spark.operators import (  # noqa: F401
         aggregates,
+        components,
         dedup,
         filters,
         llm,

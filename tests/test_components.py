@@ -1,0 +1,114 @@
+"""Connected-components (large-star/small-star) vs a pure-Python union-find.
+
+The union-find oracle is framework-independent, so these tests pin the
+operator's semantics — min-id labeling, isolated nodes, transitive closure —
+not its implementation.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark.operators.components import (
+    connected_components,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _run(spark, nodes, edges):
+    edf = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges] or [(0, 0)], "u long, v long"
+    )
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    ndf = spark.createDataFrame([(int(n),) for n in nodes], "node long")
+    got = connected_components(edf, nodes=ndf).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(0, 2 * n))
+        ]
+        expect = _union_find(nodes, edges)
+        got = _run(spark, nodes, edges)
+        assert got == expect, f"trial {trial} n={n}"
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # a 64-node path exercises multi-round convergence (diameter ≫ rounds)
+    nodes = list(range(64))
+    edges = [(i, i + 1) for i in range(63)]
+    got = _run(spark, nodes, edges)
+    assert got == {i: 0 for i in nodes}
+
+
+def test_isolated_nodes_label_themselves(spark):
+    got = _run(spark, [1, 2, 3, 10], [(1, 2)])
+    assert got == {1: 1, 2: 1, 3: 3, 10: 10}
+
+
+def test_empty_edges(spark):
+    got = _run(spark, [4, 5], [])
+    assert got == {4: 4, 5: 5}
+
+
+def test_self_loops_and_duplicate_edges(spark):
+    got = _run(spark, [0, 1, 2], [(1, 1), (2, 1), (1, 2), (2, 1)])
+    assert got == {0: 0, 1: 1, 2: 1}
+
+
+def test_string_ids(spark):
+    edf = spark.createDataFrame(
+        [("img_b", "img_c"), ("img_a", "img_b")], "u string, v string"
+    )
+    ndf = spark.createDataFrame([("img_a",), ("img_b",), ("img_c",), ("img_z",)], "node string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, nodes=ndf).collect()
+    }
+    assert got == {
+        "img_a": "img_a",
+        "img_b": "img_a",
+        "img_c": "img_a",
+        "img_z": "img_z",
+    }
+
+
+def test_phash_groups_cluster_planted_dups(spark):
+    # planted: 3 images sharing a phash band within hamming 6 → one group
+    from nightcrawler_ds_pipeline_spark.operators.components import (
+        image_phash_groups,
+    )
+
+    out = image_phash_groups(spark, "/root/testdata/sf0.001").collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r["group_id"], set()).add(r["image_id"])
+    # every group has ≥2 members (singletons never appear: nodes come from pairs)
+    assert all(len(m) >= 2 for m in groups.values())
+    # group id is the minimum member id
+    assert all(gid == min(m) for gid, m in groups.items())
