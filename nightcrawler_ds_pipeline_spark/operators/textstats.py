@@ -82,6 +82,41 @@ def _score_sql(words: list[str], arr: str) -> str:
     )
 
 
+def _words_col():
+    return F.split(F.lower(F.trim("text")), r"\s+")
+
+
+def _marker_score_col(markers: list[str]):
+    words = _words_col()
+    s = F.lit(0)
+    for w in markers:
+        s = s + F.when(F.array_contains(words, w), 1).otherwise(0)
+    return s
+
+
+def lang_pred_col():
+    """The lang-id heuristic as a reusable Column (same arithmetic as
+    text_lang_id)."""
+    s_en = _marker_score_col(_LANG_MARKERS["en"])
+    s_qd = _marker_score_col(_LANG_MARKERS["qd"])
+    s_qs = _marker_score_col(_LANG_MARKERS["qs"])
+    return (
+        F.when((s_en >= s_qd) & (s_en >= s_qs), "en")
+        .when(s_qd >= s_qs, "qd")
+        .otherwise("qs")
+    )
+
+
+def quality_col():
+    """The quality composite as a reusable Column (same arithmetic as
+    text_quality_score)."""
+    stop_hits = _marker_score_col(_LANG_MARKERS["en"])
+    return (
+        F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(stop_hits / 4.0, F.lit(1.0)) * 0.5
+    )
+
+
 @register(
     "text_lang_id",
     oracle=f"""
@@ -100,25 +135,9 @@ def _score_sql(words: list[str], arr: str) -> str:
 )
 def text_lang_id(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim("text")), r"\s+")
-
-    def score(markers):
-        s = F.lit(0)
-        for w in markers:
-            s = s + F.when(F.array_contains(words, w), 1).otherwise(0)
-        return s
-
-    s_en, s_qd, s_qs = (
-        score(_LANG_MARKERS["en"]),
-        score(_LANG_MARKERS["qd"]),
-        score(_LANG_MARKERS["qs"]),
-    )
-    pred = (
-        F.when((s_en >= s_qd) & (s_en >= s_qs), "en")
-        .when(s_qd >= s_qs, "qd")
-        .otherwise("qs")
-    )
-    return docs.select("doc_id", "lang", pred.alias("lang_pred")).orderBy("doc_id")
+    return docs.select(
+        "doc_id", "lang", lang_pred_col().alias("lang_pred")
+    ).orderBy("doc_id")
 
 
 # quality scoring: length / mean-word-length / stopword-ratio composite
@@ -141,18 +160,10 @@ def text_lang_id(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    words = F.split(F.lower(F.trim("text")), r"\s+")
-    stop_hits = F.lit(0)
-    for w in _LANG_MARKERS["en"]:
-        stop_hits = stop_hits + F.when(F.array_contains(words, w), 1).otherwise(0)
-    quality = (
-        F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
-        + F.least(stop_hits / 4.0, F.lit(1.0)) * 0.5
-    )
     return docs.select(
         "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        quality.alias("quality"),
+        F.size(_words_col()).cast("long").alias("n_words"),
+        quality_col().alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -32,6 +32,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from nightcrawler_ds_pipeline_spark.operators import (  # noqa: F401
         aggregates,
         components,
+        curation,
         dedup,
         filters,
         llm,
