@@ -162,7 +162,11 @@ def prepare_scaling_inputs(
     # schema evolves (e.g. the bloom rows gained num_partitions), stale
     # cached inputs must regenerate, not crash the probe with a missing
     # column mid-bench
-    fingerprint = f"v2 bloom={BLOOM_SCHEMA.simpleString()}\n"
+    from nightcrawler_ds_pipeline_spark.crawl.seen import DEFAULT_NUM_PARTITIONS
+
+    fingerprint = (
+        f"v3 P={DEFAULT_NUM_PARTITIONS} bloom={BLOOM_SCHEMA.simpleString()}\n"
+    )
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
         with open(marker) as f:

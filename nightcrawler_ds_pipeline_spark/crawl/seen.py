@@ -37,7 +37,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DEFAULT_NUM_PARTITIONS = 32
+# P must stay ≫ max(cores, shuffle partitions): the probe cogroups by
+# pmod(key, P), and with P ≈ shuffle-partition count the balls-in-bins hash
+# assignment hands some reducers 2-3 sketch groups and others none — the
+# probe stage then runs at the speed of its worst bucket exactly when the
+# core count is high (measured: P=32 on 32 cores cost 3.8 s vs 1.8 s on 8
+# cores for the same 2 M-key probe). 256 locally; 4096 at the 10^10 design
+# point (SCALE.md §2) — geometry travels inside the sketch rows either way.
+DEFAULT_NUM_PARTITIONS = 256
 DEFAULT_BITS_PER_PARTITION = 1 << 20  # 128 KiB/partition locally; scale at prod
 DEFAULT_NUM_HASHES = 7
 
