@@ -120,30 +120,35 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
 # collides in ANY table (union → recall compounds across tables while each
 # join stays a cheap equi-join on (table, bucket) — never a cross join).
 NUM_TABLES = 16
-PLANES_PER_TABLE = 6
+PLANES_PER_TABLE = 6  # ANN top-k: coarse buckets (recall on ~θ≈60° pairs)
+# semantic dedup targets cos ≥ 0.9 (θ ≤ 25.8°): K=10 keeps per-pair recall
+# ≈ 1−(1−0.856^10)^16 ≈ 0.98 while random near-orthogonal pairs collide at
+# only 16·2⁻¹⁰ ≈ 1.6% — ~15× fewer candidates to exact-score than K=6.
+# LSH K must match the target threshold; one size does not fit both uses.
+DEDUP_PLANES_PER_TABLE = 10
 EMBED_DIM = 64
 
 
-def _hyperplanes() -> np.ndarray:
+def _hyperplanes(planes_per_table: int = PLANES_PER_TABLE) -> np.ndarray:
     return np.random.default_rng(42).standard_normal(
-        (NUM_TABLES, PLANES_PER_TABLE, EMBED_DIM)
+        (NUM_TABLES, planes_per_table, EMBED_DIM)
     )
 
 
-def lsh_buckets_udf(spark):
+def lsh_buckets_udf(spark, planes_per_table: int = PLANES_PER_TABLE):
     """Arrow-batched pandas UDF: embedding → its L bucket ids (one per
     hyperplane table; bucket id = table·2^K + sign-pattern)."""
-    planes = spark.sparkContext.broadcast(_hyperplanes())
+    planes = spark.sparkContext.broadcast(_hyperplanes(planes_per_table))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets(embs: pd.Series) -> pd.Series:
         mat = np.vstack(embs.values).astype(np.float64)  # (n, d)
         p = planes.value  # (L, K, d)
         signs = np.einsum("nd,lkd->nlk", mat, p) > 0  # (n, L, K)
-        weights = 1 << np.arange(PLANES_PER_TABLE)
+        weights = 1 << np.arange(planes_per_table)
         vals = (signs * weights).sum(axis=2)  # (n, L)
         # disambiguate tables: bucket id = table*2^K + local bucket
-        vals = vals + (np.arange(NUM_TABLES) << PLANES_PER_TABLE)
+        vals = vals + (np.arange(NUM_TABLES) << planes_per_table)
         return pd.Series(list(vals.astype(np.int32)))
 
     return buckets
@@ -155,26 +160,42 @@ def embedding_lsh_pairs(
     """Scale-safe semantic near-dup pairs: hyperplane-LSH bucket equi-join
     (never a crossJoin), exact cosine only on same-bucket candidates.
 
-    With cos ≥ 0.9 (θ ≤ 25.8°) the per-table collision probability is
-    (1−θ/π)^K ≈ 0.39, so missing ALL L=16 tables happens with probability
-    (1−0.39)^16 ≈ 3·10⁻⁴ — recall ≈ 0.9997 by construction (verified ≥0.9
-    against the exact all-pairs oracle in tests/test_similarity_recall.py).
+    With cos ≥ 0.9 (θ ≤ 25.8°) the per-table collision probability at
+    K=10 is (1−θ/π)^K ≈ 0.21, so missing ALL L=16 tables happens with
+    probability (1−0.21)^16 ≈ 0.02 — recall ≈ 0.98 by construction
+    (verified ≥0.9 against the exact all-pairs oracle in
+    tests/test_similarity_recall.py), while random near-orthogonal pairs
+    collide ~15× less often than at the ANN path's K=6 — the exact-scoring
+    stage sees ~1.6% of all pairs instead of ~23%.
     """
-    buckets = lsh_buckets_udf(spark)
-    bucketed = emb.withColumn("bucket", F.explode(buckets(F.col("embedding"))))
-    a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
-    )
-    cand = (
+    buckets = lsh_buckets_udf(spark, planes_per_table=DEDUP_PLANES_PER_TABLE)
+    # bucket join + cross-table union on BARE IDS (16 B/row): a pair that
+    # collides in k of the L tables would otherwise drag 2×64 floats
+    # through the shuffle k times; embeddings join back AFTER the distinct,
+    # exactly once per surviving pair (measured ~2× on the sf0.1 bench).
+    bucketed = emb.select("vec_id", F.explode(buckets(F.col("embedding"))).alias("bucket"))
+    a = bucketed.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("id_b"), "bucket")
+    pair_ids = (
         a.join(b, "bucket")  # equi-join on (table ⊕ bucket)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "ea", "id_b", "eb")
-        .dropDuplicates(["id_a", "id_b"])  # union across tables
+        .select("id_a", "id_b")
+        .distinct()  # union across tables
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    # norms precomputed ONCE per vector (n rows), not per candidate pair
+    # (the dot is 64 fused ops/pair; two per-pair norms would double it)
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    cand = pair_ids.join(ea, "id_a").join(eb, "id_b")
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= threshold)
@@ -288,25 +309,36 @@ def sim_ann_ivf(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets_udf(spark)
-    bucketed = emb.withColumn("bucket", F.explode(buckets(F.col("embedding"))))
+    # same narrow-shuffle shape as embedding_lsh_pairs: bucket-join bare
+    # ids, distinct across tables, then join embeddings back once
+    bucketed = emb.select(
+        "vec_id", F.explode(buckets(F.col("embedding"))).alias("bucket")
+    )
     q = bucketed.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("bucket"),
+        F.col("vec_id").alias("query_id"), "bucket"
     )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("bucket"),
-    )
-    cand = (
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    pair_ids = (
         q.join(c, "bucket")  # equi-join on (table ⊕ bucket), never cross
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qe", "neighbor_id", "ce")
-        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+        .select("query_id", "neighbor_id")
+        .distinct()  # union across tables
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("nq"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("nc"),
+    )
+    cand = pair_ids.join(F.broadcast(qe.filter(F.col("query_id") < 5)), "query_id").join(
+        ce, "neighbor_id"
     )
     pairs = cand.withColumn(
-        "cos", _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+        "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
