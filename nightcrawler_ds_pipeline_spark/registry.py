@@ -35,6 +35,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation,
         dedup,
         filters,
+        joins,
         llm,
         multimodal,
         pipelines,

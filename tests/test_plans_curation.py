@@ -62,3 +62,16 @@ def test_cc_driver_sees_only_scalars(spark):
     )
     n, h = _edge_fingerprint(edges)
     assert n == 10_000 and isinstance(h, int)
+
+
+def test_star_join_dims_broadcast(spark):
+    """The dim chain (customer -> nation -> region) must broadcast; a
+    sort-merge join on a 25-row dim would be the classic anti-pattern."""
+    from nightcrawler_ds_pipeline_spark.operators.joins import (
+        join_star_region_revenue,
+    )
+
+    plan = _plan(join_star_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
