@@ -112,6 +112,41 @@ class SnapshotCatalog:
         df = spark.read.parquet(*[s["dir"] for s in live])
         return df
 
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        table: str,
+        after_iter: int,
+        until_iter: int | None = None,
+    ) -> DataFrame | None:
+        """Incremental consumption (the Iceberg incremental-read analogue):
+        only the APPEND snapshots with ``after_iter < meta.iter``
+        (``<= until_iter`` when given). Downstream consumers — e.g. a
+        training-data pipeline ingesting each iteration's new results —
+        read just the delta instead of rescanning the whole table (at the
+        10^10 design point the results table is TBs; one iteration's
+        appends are GBs). Raises if an OVERWRITE snapshot lands inside the
+        requested window: an overwrite breaks append-delta semantics, and
+        consuming across it silently would replay rows."""
+        snaps = self._load_manifest(table)
+        window = [
+            s
+            for s in snaps
+            if s["meta"].get("iter", -1) > after_iter
+            and (until_iter is None or s["meta"].get("iter", -1) <= until_iter)
+        ]
+        bad = [s for s in window if s["mode"] != "append"]
+        if bad:
+            raise ValueError(
+                f"incremental read of {table!r} after iter {after_iter}: "
+                f"snapshot {bad[0]['id']} (iter {bad[0]['meta'].get('iter')}) "
+                "is an overwrite — delta semantics end at an overwrite; "
+                "re-baseline from read() instead"
+            )
+        if not window:
+            return None
+        return spark.read.parquet(*[s["dir"] for s in window])
+
     def rollback_above(self, max_iter: int) -> None:
         """Drop snapshots from un-finalized iterations (meta.iter > max_iter)
         across ALL tables. Called on resume: a crash can leave committed

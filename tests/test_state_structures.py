@@ -165,3 +165,32 @@ def test_cuckoo_insert_lookup_delete():
     # serialization round-trip
     cf2 = CuckooFilter.from_bytes(cf.to_bytes(), cf.num_buckets)
     assert cf2.contains(keys[1000:]).all()
+
+
+def test_read_incremental_yields_exact_delta(spark, tmp_path, t1_dir):
+    """Incremental read = exactly the appends after the cursor; overwrite
+    inside the window fails loudly (delta semantics end at an overwrite)."""
+    import pytest as _pytest
+
+    from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    run_crawl(spark, cat, t1_dir, CrawlConfig(iterations=3))
+
+    full = {tuple(r) for r in cat.read(spark, "results").collect()}
+    base = {tuple(r) for r in cat.read(spark, "results", max_iter=0).collect()}
+    delta_df = cat.read_incremental(spark, "results", after_iter=0)
+    delta = {tuple(r) for r in delta_df.collect()} if delta_df is not None else set()
+    assert delta == full - base
+    assert delta, "expected appends after iteration 0"
+
+    # bounded window: (0, 1] must equal read(max_iter=1) - read(max_iter=0)
+    upto1 = {tuple(r) for r in cat.read(spark, "results", max_iter=1).collect()}
+    win_df = cat.read_incremental(spark, "results", after_iter=0, until_iter=1)
+    win = {tuple(r) for r in win_df.collect()} if win_df is not None else set()
+    assert win == upto1 - base
+
+    # frontier is overwritten every iteration -> loud error, never replay
+    with _pytest.raises(ValueError, match="overwrite"):
+        cat.read_incremental(spark, "frontier", after_iter=0)
