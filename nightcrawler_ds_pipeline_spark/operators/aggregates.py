@@ -130,6 +130,23 @@ def agg_distinct_domains(spark, sf_dir):
     return hosts.agg(F.countDistinct("host").alias("n_domains"))
 
 
+# A7 at 100 TB: exact count_distinct shuffles every distinct key; the HLL
+# sketch merges map-side partials (bytes per partition, not keys), which is
+# the only affordable form on a 10^10-URL frontier. No DuckDB oracle — HLL
+# implementations differ across engines by design; the ≤5%-relative-error
+# contract vs the exact count is pinned in tests/test_oracle_parity.py
+# (rsd=0.02 ⇒ expected error well inside the gate).
+@register("agg_approx_distinct_domains")
+def agg_approx_distinct_domains(spark, sf_dir):
+    urls = synth_urls(spark, sf_dir).dropDuplicates(["url"])
+    hosts = urls.withColumn(
+        "host", F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
+    )
+    return hosts.agg(
+        F.approx_count_distinct("host", rsd=0.02).alias("n_domains_approx")
+    )
+
+
 # TPC-H Q1-shaped pricing summary — the engine's general agg sanity check
 # (multiple aggregates, two grouping keys, one pass).
 @register(

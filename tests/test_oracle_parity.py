@@ -82,3 +82,16 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) >= 3
+
+
+def test_approx_distinct_domains_error_bound(spark):
+    """HLL sketch count must land within 5% of the exact count (rsd=0.02)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    exact = qs["agg_distinct_domains"](spark, SF_DIR).collect()[0]["n_domains"]
+    approx = qs["agg_approx_distinct_domains"](spark, SF_DIR).collect()[0][
+        "n_domains_approx"
+    ]
+    assert exact > 0
+    assert abs(approx - exact) / exact <= 0.05, (approx, exact)
