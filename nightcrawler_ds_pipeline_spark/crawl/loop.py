@@ -168,6 +168,24 @@ def run_crawl(
             frontier = seed_frontier(serp)
         seen = catalog.read(spark, "seen", max_iter=committed)
         bloom = catalog.read(spark, "bloom", max_iter=committed)
+        # geometry migration: a catalog written before a bloom_partitions
+        # change (engine default upgrade, config edit) stores sketches with
+        # a different modulus — probing or merging across moduli would
+        # raise (or worse, silently mis-place keys). The seen table is the
+        # source of truth, so rebuild the sketches once at resume. Checked
+        # only on the first iteration of the run: geometry cannot drift
+        # mid-run. Rebuilt from the UNFILTERED seen set — the Bloom keeps
+        # TTL-expired history on purpose (it never decides).
+        if it == start_iter and bloom is not None:
+            first = bloom.select("num_partitions").first()
+            if first is not None and int(first[0]) != cfg.bloom_partitions:
+                bloom = (
+                    build_bloom_partitions(
+                        seen, num_partitions=cfg.bloom_partitions
+                    )
+                    if seen is not None
+                    else None
+                )
         # TTL: only still-fresh seen rows suppress a re-fetch. The Bloom
         # stays unfiltered (it can't delete) — it over-approximates and the
         # exact anti-join against the ACTIVE seen set decides, so an

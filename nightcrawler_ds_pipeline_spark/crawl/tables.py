@@ -127,7 +127,21 @@ class SnapshotCatalog:
         10^10 design point the results table is TBs; one iteration's
         appends are GBs). Raises if an OVERWRITE snapshot lands inside the
         requested window: an overwrite breaks append-delta semantics, and
-        consuming across it silently would replay rows."""
+        consuming across it silently would replay rows.
+
+        When ``until_iter`` is None the window is capped at the last
+        LINEAGE-COMMITTED iteration (same discipline as ``read(max_iter=
+        committed)``): a crash can leave an append whose finalizer never
+        landed, and ``rollback_above`` will delete it on resume — a
+        consumer that ingested it would hold rows that no longer exist and
+        a cursor already past the re-run iteration. Catalogs without a
+        lineage table (raw use outside the loop) stay unbounded."""
+        if until_iter is None:
+            lineage = self._load_manifest("lineage")
+            if lineage:
+                until_iter = max(
+                    s["meta"].get("iter", -1) for s in lineage
+                )
         snaps = self._load_manifest(table)
         window = [
             s

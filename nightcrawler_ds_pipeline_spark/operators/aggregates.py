@@ -138,8 +138,10 @@ def agg_distinct_domains(spark, sf_dir):
 # (rsd=0.02 ⇒ expected error well inside the gate).
 @register("agg_approx_distinct_domains")
 def agg_approx_distinct_domains(spark, sf_dir):
-    urls = synth_urls(spark, sf_dir).dropDuplicates(["url"])
-    hosts = urls.withColumn(
+    # no url-dedup pre-pass: approx_count_distinct is insensitive to
+    # duplicates, and a dropDuplicates here would pay exactly the
+    # every-distinct-key shuffle this sketch exists to avoid
+    hosts = synth_urls(spark, sf_dir).withColumn(
         "host", F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
     )
     return hosts.agg(

@@ -34,8 +34,7 @@ from nightcrawler_ds_pipeline_spark.registry import register
 from nightcrawler_ds_pipeline_spark.operators.sqlfrags import read_table
 from nightcrawler_ds_pipeline_spark.operators.dedup import (
     dedup_minhash_lsh_pairs,
-    _minhash_sql_cols,
-    _WORDS_DUCK,
+    minhash_pairs_sql,
 )
 
 
@@ -137,23 +136,7 @@ def connected_components(
 @register(
     "dedup_connected_components",
     oracle=f"""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
-      FROM documents WHERE doc_id < 200
-    ),
-    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, 0 AS band_id, concat(h0, h1) AS band_key FROM sig
-      UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
-      UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
-      UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {minhash_pairs_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 200)")},
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
@@ -200,11 +183,12 @@ def image_phash_groups(spark, sf_dir):
         image_phash_neardup,
     )
 
+    # nodes=None: every endpoint of a pair is labeled by the CC fixpoint
+    # itself, and materializing a separate node frame would re-run the
+    # whole binary decode+phash lineage a second time (only the edge set
+    # is checkpointed inside connected_components)
     pairs = image_phash_neardup(spark, sf_dir)
-    ids = pairs.select(F.col("id_a").alias("image_id")).union(
-        pairs.select(F.col("id_b"))
-    ).distinct()
-    cc = connected_components(pairs.select("id_a", "id_b"), nodes=ids)
+    cc = connected_components(pairs.select("id_a", "id_b"))
     return (
         cc.select(
             F.col("node").alias("image_id"),

@@ -28,9 +28,8 @@ from nightcrawler_ds_pipeline_spark.operators.components import (
     connected_components,
 )
 from nightcrawler_ds_pipeline_spark.operators.dedup import (
-    NUM_MINHASHES,
-    BAND_SIZE,
-    _minhash_sql_cols,
+    minhash_band_pairs_df,
+    minhash_pairs_sql,
 )
 from nightcrawler_ds_pipeline_spark.operators.textstats import (
     _LANG_MARKERS,
@@ -41,12 +40,6 @@ from nightcrawler_ds_pipeline_spark.operators.textstats import (
 )
 
 _QUALITY_MIN = 0.5
-
-_BAND_UNION_DUCK = "\n      UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, concat(h{b * BAND_SIZE}, h{b * BAND_SIZE + 1})"
-    f" AS band_key FROM sig"
-    for b in range(NUM_MINHASHES // BAND_SIZE)
-)
 
 
 @register(
@@ -73,19 +66,7 @@ _BAND_UNION_DUCK = "\n      UNION ALL ".join(
       FROM gated
     ),
     kept AS (SELECT doc_id, text, quality FROM exact WHERE rn = 1),
-    tok AS (
-      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w FROM kept
-    ),
-    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
-    bands AS (
-      {_BAND_UNION_DUCK}
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
+    {minhash_pairs_sql("kept")},
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
@@ -123,40 +104,13 @@ def corpus_curation(spark, sf_dir):
     kept = hashed.join(keepers, ["content_hash", "doc_id"]).select(
         "doc_id", "text", "quality"
     )
-    # MinHash signatures over the kept docs (same arithmetic as dedup.py)
-    tok = kept.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
-    ).distinct()
-    aggs = [
-        F.min(
-            F.md5(F.encode(F.concat(F.col("w"), F.lit(f"#{i}")), "utf-8"))
-        ).alias(f"h{i}")
-        for i in range(NUM_MINHASHES)
-    ]
-    sig = tok.groupBy("doc_id").agg(*aggs)
-    band_exprs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat(
-                *[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-            ).alias("band_key"),
-        )
-        for b in range(NUM_MINHASHES // BAND_SIZE)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # kept feeds three consumers (signature chain, CC node set, final
+    # join) — materialize once so the gate+exact-dedup lineage doesn't
+    # re-execute per action (same pattern as connected_components' edges)
+    kept = kept.localCheckpoint(eager=True)
+    # MinHash-LSH candidate pairs over the kept docs — the ONE shared
+    # definition in dedup.py (same salt scheme + banding as its oracle)
+    pairs = minhash_band_pairs_df(kept.select("doc_id", "text"))
     cc = connected_components(pairs, nodes=kept.select("doc_id"))
     return (
         kept.join(

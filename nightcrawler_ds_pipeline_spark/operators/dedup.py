@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -61,6 +62,78 @@ def _minhash_sql_cols() -> str:
     )
 
 
+def minhash_pairs_sql(source: str) -> str:
+    """DuckDB CTE fragment ``tok, sig, bands, pairs`` computing the banded
+    MinHash candidate pairs over ``source`` (any table expression with
+    doc_id, text). THE single definition of the salt scheme + banding on
+    the SQL side — dedup / connected-components / curation oracles all
+    compose this fragment, so a constant change cannot silently desync
+    one of them."""
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat({', '.join(f'h{b * BAND_SIZE + j}' for j in range(BAND_SIZE))})"
+        f" AS band_key FROM sig"
+        for b in range(NUM_MINHASHES // BAND_SIZE)
+    )
+    return f"""tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w FROM {source}
+    ),
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
+    bands AS (
+      {band_union}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, h0..h{n-1}) MinHash signatures — the
+    single Spark-side definition of the token split + '#seed' salt."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).distinct()
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.col("w"), F.lit(f"#{i}")), "utf-8"))
+        ).alias(f"h{i}")
+        for i in range(NUM_MINHASHES)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → distinct candidate pairs (id_a < id_b) via the
+    banded bucket equi-join. The Spark twin of ``minhash_pairs_sql``."""
+    sig = minhash_signatures_df(docs)
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(
+                *[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            ).alias("band_key"),
+        )
+        for b in range(NUM_MINHASHES // BAND_SIZE)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_signatures",
     oracle=f"""
@@ -74,62 +147,23 @@ def _minhash_sql_cols() -> str:
 )
 def dedup_minhash_signatures(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
-    ).distinct()
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.col("w"), F.lit(f"#{i}")), "utf-8"))).alias(
-            f"h{i}"
-        )
-        for i in range(NUM_MINHASHES)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return minhash_signatures_df(docs).orderBy("doc_id")
 
 
 # --- MinHash LSH candidate pairs (band bucket-join) ---------------------------
+_DOCS_200 = "(SELECT doc_id, text FROM documents WHERE doc_id < 200)"
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
-      FROM documents WHERE doc_id < 200
-    ),
-    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, 0 AS band_id, concat(h0, h1) AS band_key FROM sig
-      UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
-      UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
-      UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-    ORDER BY id_a, id_b
+    WITH {minhash_pairs_sql(_DOCS_200)}
+    SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    sig = dedup_minhash_signatures(spark, sf_dir)
-    band_exprs = []
-    for b in range(NUM_MINHASHES // BAND_SIZE):
-        key = F.concat(*[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
-        band_exprs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_band_pairs_df(docs).orderBy("id_a", "id_b")
 
 
 # --- n-gram (token-set) Jaccard ----------------------------------------------

@@ -207,12 +207,15 @@ def embedding_lsh_pairs(
 # the 100TB semantic-dedup path: same output shape as the exact
 # dedup_embedding_cosine_pairs (which stays as its bounded recall oracle),
 # but candidates come from the LSH bucket join — no all-pairs anywhere.
-# Oracle: the exact all-pairs ground truth over the FULL table. The LSH
-# candidate union misses a qualifying pair with p≈3e-4 (see
-# embedding_lsh_pairs docstring), and the hyperplanes are seed-fixed, so
-# equality with the exact answer on the driver data is deterministic —
-# verified by this very oracle; recall on data WITH planted near-dups is
-# additionally pinned ≥0.9 in tests/test_similarity_recall.py.
+# Oracle: the exact all-pairs ground truth over the FULL table. The
+# hyperplanes are seed-fixed, so LSH-vs-exact equality on the driver data
+# is DETERMINISTIC, and it holds today because the driver embeddings
+# contain no pairs with cos ≥ 0.9 at any SF (verified; max off-diagonal
+# cosine ≈ 0.6) — the oracle pins that emptiness plus the no-false-
+# positives direction. If future testdata plants qualifying pairs, each is
+# missed with p ≈ 0.02 at K=10 (0.79^16), so this oracle would need a
+# re-check then; recall on data WITH planted near-dups is pinned ≥0.9 in
+# tests/test_similarity_recall.py either way.
 @register(
     "dedup_embedding_lsh_pairs",
     oracle=f"""

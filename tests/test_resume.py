@@ -68,3 +68,29 @@ def test_resume_after_simulated_crash(spark, t1_dir, tmp_path):
     # seen table also clean of orphans
     seen = cat_b.read(spark, "seen")
     assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_resume_across_bloom_partition_upgrade(spark, tmp_path, t1_dir):
+    """A catalog written with one Bloom modulus must resume cleanly under a
+    different bloom_partitions config (engine-default upgrade): sketches
+    rebuild from the seen table; results equal an uninterrupted run."""
+    from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+
+    upgraded = SnapshotCatalog(str(tmp_path / "up"))
+    run_crawl(spark, upgraded, t1_dir,
+              CrawlConfig(iterations=2, bloom_partitions=16))
+    run_crawl(spark, upgraded, t1_dir,
+              CrawlConfig(iterations=4, bloom_partitions=32))
+
+    pure = SnapshotCatalog(str(tmp_path / "pure"))
+    run_crawl(spark, pure, t1_dir,
+              CrawlConfig(iterations=4, bloom_partitions=32))
+
+    cols = ["iter", "seq", "url_hash"]
+    got = sorted(tuple(r) for r in upgraded.read(spark, "results").select(*cols).collect())
+    want = sorted(tuple(r) for r in pure.read(spark, "results").select(*cols).collect())
+    assert got == want
+    # and the stored sketches now carry the new modulus
+    mods = {int(r[0]) for r in upgraded.read(spark, "bloom").select("num_partitions").collect()}
+    assert mods == {32}

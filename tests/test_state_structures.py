@@ -194,3 +194,30 @@ def test_read_incremental_yields_exact_delta(spark, tmp_path, t1_dir):
     # frontier is overwritten every iteration -> loud error, never replay
     with _pytest.raises(ValueError, match="overwrite"):
         cat.read_incremental(spark, "frontier", after_iter=0)
+
+
+def test_read_incremental_excludes_orphan_appends(spark, tmp_path, t1_dir):
+    """A crash can commit an append whose lineage finalizer never landed;
+    the default incremental window must stop at the committed iteration so
+    consumers never ingest rows rollback_above will delete on resume."""
+    from pyspark.sql import functions as F
+
+    from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    run_crawl(spark, cat, t1_dir, CrawlConfig(iterations=2))
+    committed = {tuple(r) for r in cat.read_incremental(
+        spark, "results", after_iter=-1).collect()}
+
+    # simulate the crash: an iter-7 results append with NO lineage row
+    orphan = cat.read(spark, "results").limit(3).withColumn(
+        "iter", F.lit(7).cast("int")
+    )
+    cat.write(orphan, "results", mode="append", meta={"iter": 7})
+
+    delta = {tuple(r) for r in cat.read_incremental(
+        spark, "results", after_iter=-1).collect()}
+    assert delta == committed  # orphan invisible by default
+    explicit = cat.read_incremental(spark, "results", after_iter=-1, until_iter=7)
+    assert explicit.count() == len(committed) + 3  # opt-in still possible
