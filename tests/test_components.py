@@ -112,3 +112,29 @@ def test_phash_groups_cluster_planted_dups(spark):
     assert all(len(m) >= 2 for m in groups.values())
     # group id is the minimum member id
     assert all(gid == min(m) for gid, m in groups.items())
+
+
+def test_cc_hypothesis_random_graphs(spark):
+    """Property: CC labels equal union-find min-labels on arbitrary edge
+    lists (hypothesis-driven, deterministic derandomized profile)."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        edges=st.lists(
+            st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=60
+        ),
+    )
+    def prop(n, edges):
+        edges = [(u % n, v % n) for u, v in edges]
+        nodes = list(range(n))
+        assert _run(spark, nodes, edges) == _union_find(nodes, edges)
+
+    prop()
