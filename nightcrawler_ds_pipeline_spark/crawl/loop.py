@@ -64,6 +64,14 @@ class CrawlConfig:
     # never decides); the cuckoo filter (crawl/cuckoo.py) is the
     # deletion-capable sketch for TTL-heavy workloads.
     ttl_iters: int | None = None
+    # Bloom pre-pass size gate: while the seen set has fewer rows than this,
+    # skip building/merging/probing sketches entirely — `filter_unseen`
+    # degrades to the exact anti-join (the decider either way), which is
+    # strictly cheaper at small scale (the P=256 sketch build/merge/probe is
+    # 3 fixed ~256-task stages per iteration, pure overhead for a few-k-row
+    # batch; measured 1.8× t2 crawl slowdown). Crossing the threshold
+    # rebuilds the sketches once from the full seen table.
+    bloom_min_seen: int = 100_000
     # compact the append-mode state tables (seen/results) every k committed
     # iterations — bounds the small-file count the next iteration scans
     # (SnapshotCatalog.compact; the Iceberg rewrite_data_files analogue)
@@ -160,6 +168,12 @@ def run_crawl(
     catalog.rollback_above(start_iter - 1)
     summary: list[dict] = []
 
+    # seen-set size for the Bloom gate: one count at (re)start, then
+    # maintained incrementally (+= n_batch per committed iteration) — no
+    # extra action inside the loop
+    seen0 = catalog.read(spark, "seen", max_iter=start_iter - 1)
+    seen_count = seen0.count() if seen0 is not None else 0
+
     for it in range(start_iter, cfg.iterations):
         committed = it - 1
 
@@ -167,24 +181,32 @@ def run_crawl(
         if frontier is None:
             frontier = seed_frontier(serp)
         seen = catalog.read(spark, "seen", max_iter=committed)
-        bloom = catalog.read(spark, "bloom", max_iter=committed)
-        # geometry migration: a catalog written before a bloom_partitions
-        # change (engine default upgrade, config edit) stores sketches with
-        # a different modulus — probing or merging across moduli would
-        # raise (or worse, silently mis-place keys). The seen table is the
-        # source of truth, so rebuild the sketches once at resume. Checked
-        # only on the first iteration of the run: geometry cannot drift
-        # mid-run. Rebuilt from the UNFILTERED seen set — the Bloom keeps
-        # TTL-expired history on purpose (it never decides).
-        if it == start_iter and bloom is not None:
-            first = bloom.select("num_partitions").first()
-            if first is not None and int(first[0]) != cfg.bloom_partitions:
-                bloom = (
-                    build_bloom_partitions(
-                        seen, num_partitions=cfg.bloom_partitions
-                    )
-                    if seen is not None
-                    else None
+        use_bloom = seen_count >= cfg.bloom_min_seen
+        bloom = (
+            catalog.read(spark, "bloom", max_iter=committed) if use_bloom else None
+        )
+        # The probe-side sketches must OVER-approximate the seen table (a
+        # "definitely not seen" verdict bypasses the exact anti-join), so a
+        # stored Bloom is usable only if it is both FRESH — written at the
+        # same iteration as the newest seen snapshot; an accrual-only or
+        # below-gate iteration commits lineage without a bloom write — and
+        # GEOMETRY-compatible (same modulus as this run's bloom_partitions;
+        # probing across moduli mis-places keys). Checked every iteration:
+        # both staleness checks are manifest-only and the modulus check is
+        # one .first() on the small sketch table. On any mismatch the seen
+        # table is the source of truth — rebuild from the UNFILTERED seen
+        # set (the Bloom keeps TTL-expired history on purpose; it never
+        # decides).
+        if use_bloom and seen is not None:
+            rebuild = bloom is None or catalog.latest_iter(
+                "bloom", max_iter=committed
+            ) < catalog.latest_iter("seen", max_iter=committed)
+            if not rebuild:
+                first = bloom.select("num_partitions").first()
+                rebuild = first is None or int(first[0]) != cfg.bloom_partitions
+            if rebuild:
+                bloom = build_bloom_partitions(
+                    seen, num_partitions=cfg.bloom_partitions
                 )
         # TTL: only still-fresh seen rows suppress a re-fetch. The Bloom
         # stays unfiltered (it can't delete) — it over-approximates and the
@@ -290,13 +312,19 @@ def run_crawl(
             "url_hash", "canonical_url", F.lit(it).cast("int").alias("seen_iter")
         )
 
-        # 5b. merged Bloom (overwrite snapshot)
-        new_bloom = build_bloom_partitions(
-            new_seen, num_partitions=cfg.bloom_partitions
-        )
-        merged_bloom = (
-            merge_bloom_tables(bloom, new_bloom) if bloom is not None else new_bloom
-        )
+        # 5b. merged Bloom (overwrite snapshot) — only above the size gate;
+        # below it no sketches are maintained at all, and the first
+        # above-gate iteration rebuilds them from the full seen table via
+        # the freshness check at the top of the loop
+        if use_bloom:
+            new_bloom = build_bloom_partitions(
+                new_seen, num_partitions=cfg.bloom_partitions
+            )
+            merged_bloom = (
+                merge_bloom_tables(bloom, new_bloom)
+                if bloom is not None
+                else new_bloom
+            )
 
         # 5c. frontier edges from outlinks; remaining = gated - dequeued + new
         remaining = gated.select(*FRONTIER_COLS).join(
@@ -348,7 +376,8 @@ def run_crawl(
         catalog.write(new_buckets, "politeness", mode="overwrite", meta=meta)
         catalog.write(results, "results", mode="append", meta=meta)
         catalog.write(new_seen, "seen", mode="append", meta=meta)
-        catalog.write(merged_bloom, "bloom", mode="overwrite", meta=meta)
+        if use_bloom:
+            catalog.write(merged_bloom, "bloom", mode="overwrite", meta=meta)
         catalog.write(next_frontier, "frontier", mode="overwrite", meta=meta)
 
         # one-pass metrics aggregate (vs one action per counter)
@@ -396,6 +425,7 @@ def run_crawl(
             catalog.compact(spark, "seen")
             catalog.compact(spark, "results")
 
+        seen_count += n_batch
         summary.append(
             {
                 "iter": it,

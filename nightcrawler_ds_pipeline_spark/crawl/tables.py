@@ -86,6 +86,16 @@ class SnapshotCatalog:
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)
 
+    def latest_iter(self, table: str, max_iter: int | None = None) -> int:
+        """Max ``meta.iter`` among committed snapshots (``<= max_iter`` when
+        given), or -1 if none — manifest-only, no data scan. Used by the
+        crawl loop to detect a stale Bloom snapshot (older than the seen
+        table it must over-approximate)."""
+        snaps = self._load_manifest(table)
+        if max_iter is not None:
+            snaps = [s for s in snaps if s["meta"].get("iter", -1) <= max_iter]
+        return max((s["meta"].get("iter", -1) for s in snaps), default=-1)
+
     def exists(self, table: str) -> bool:
         return bool(self._load_manifest(table))
 
@@ -135,12 +145,16 @@ class SnapshotCatalog:
         landed, and ``rollback_above`` will delete it on resume — a
         consumer that ingested it would hold rows that no longer exist and
         a cursor already past the re-run iteration. Catalogs without a
-        lineage table (raw use outside the loop) stay unbounded."""
+        lineage table (raw use outside the loop) stay unbounded; a lineage
+        table that EXISTS but has no committed snapshot (crash before the
+        first finalizer, or a resume rollback) caps the window at -1 — an
+        unbounded window there would ingest exactly the orphan appends
+        ``rollback_above`` is about to delete."""
         if until_iter is None:
-            lineage = self._load_manifest("lineage")
-            if lineage:
+            if os.path.isdir(self._table_dir("lineage")):
+                lineage = self._load_manifest("lineage")
                 until_iter = max(
-                    s["meta"].get("iter", -1) for s in lineage
+                    (s["meta"].get("iter", -1) for s in lineage), default=-1
                 )
         snaps = self._load_manifest(table)
         window = [

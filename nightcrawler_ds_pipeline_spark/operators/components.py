@@ -116,6 +116,26 @@ def connected_components(
     labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("node"), "component"
     )
+    # collision guard: convergence is detected by a 64-bit fingerprint, so a
+    # per-round ~2^-64 checksum collision could stop the loop on a non-star
+    # edge set and silently mislabel. In a true star forest no edge target
+    # is itself re-attached elsewhere — any v that also appears as a source
+    # u with component != itself fails loudly (one scalar count per call).
+    bad = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(
+            labels.filter(F.col("component") != F.col("node")),
+            "node",
+            "left_semi",
+        )
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            "connected_components: fixpoint is not a star forest "
+            f"({bad} non-root edge targets) — fingerprint collision?"
+        )
     roots = e.select(F.col("v").alias("node")).distinct().join(
         labels.select("node"), "node", "left_anti"
     ).withColumn("component", F.col("node"))

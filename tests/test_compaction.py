@@ -74,3 +74,26 @@ def test_loop_with_compaction_matches_plain_run(spark, t1_dir, tmp_path):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     # compaction actually bounded the seen snapshot chain
     assert len([s for s in cat_b.snapshots("seen") if s["mode"] == "overwrite"]) >= 1
+
+
+def test_incremental_reader_stable_across_compact(spark, t1_dir, tmp_path):
+    """The CDC contract under maintenance: a consumer holding a
+    read_incremental window across a (non-vacuum) compact sees identical
+    rows — compaction adds an overwrite snapshot but never deletes the data
+    files the held plan references. A NEW incremental read across the
+    compaction point refuses (overwrite breaks delta semantics) instead of
+    silently replaying rows."""
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "cdc"))
+    run_crawl(spark, cat, t1_dir, CrawlConfig(iterations=3))
+
+    held = cat.read_incremental(spark, "results", after_iter=0)
+    before = sorted(tuple(r) for r in held.collect())
+
+    assert cat.compact(spark, "results") is not None
+    # held reader: same rows, bit-for-bit
+    assert sorted(tuple(r) for r in held.collect()) == before
+    # a fresh window across the compaction overwrite refuses loudly
+    with pytest.raises(ValueError, match="overwrite"):
+        cat.read_incremental(spark, "results", after_iter=0)

@@ -77,15 +77,17 @@ def test_resume_across_bloom_partition_upgrade(spark, tmp_path, t1_dir):
     from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
     from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
 
+    # bloom_min_seen=0: the t1 fixture seen-set is far below the default
+    # size gate, and this test is specifically about sketch migration
     upgraded = SnapshotCatalog(str(tmp_path / "up"))
     run_crawl(spark, upgraded, t1_dir,
-              CrawlConfig(iterations=2, bloom_partitions=16))
+              CrawlConfig(iterations=2, bloom_partitions=16, bloom_min_seen=0))
     run_crawl(spark, upgraded, t1_dir,
-              CrawlConfig(iterations=4, bloom_partitions=32))
+              CrawlConfig(iterations=4, bloom_partitions=32, bloom_min_seen=0))
 
     pure = SnapshotCatalog(str(tmp_path / "pure"))
     run_crawl(spark, pure, t1_dir,
-              CrawlConfig(iterations=4, bloom_partitions=32))
+              CrawlConfig(iterations=4, bloom_partitions=32, bloom_min_seen=0))
 
     cols = ["iter", "seq", "url_hash"]
     got = sorted(tuple(r) for r in upgraded.read(spark, "results").select(*cols).collect())
@@ -94,3 +96,56 @@ def test_resume_across_bloom_partition_upgrade(spark, tmp_path, t1_dir):
     # and the stored sketches now carry the new modulus
     mods = {int(r[0]) for r in upgraded.read(spark, "bloom").select("num_partitions").collect()}
     assert mods == {32}
+
+
+def test_bloom_size_gate(spark, tmp_path, t1_dir):
+    """Below bloom_min_seen no sketches are built or persisted — filter_unseen
+    falls back to the exact anti-join, which is the decider either way.
+    Crossing the gate mid-run rebuilds sketches from the FULL seen table
+    (freshness check). Results and seen set are identical in all modes: if
+    the rebuilt Bloom missed any seen key, that URL would be re-dequeued and
+    the final state would diverge."""
+    base = dict(iterations=3, max_per_host=10, window_ms=10_000)
+
+    always = SnapshotCatalog(str(tmp_path / "always"))
+    run_crawl(spark, always, t1_dir, CrawlConfig(**base, bloom_min_seen=0))
+    golden = _final_state(spark, always)
+
+    never = SnapshotCatalog(str(tmp_path / "never"))
+    run_crawl(spark, never, t1_dir, CrawlConfig(**base))  # default gate ≫ t1
+    assert _final_state(spark, never) == golden
+    assert never.read(spark, "bloom") is None  # gate held: no sketches at all
+
+    crossing = SnapshotCatalog(str(tmp_path / "xing"))
+    run_crawl(spark, crossing, t1_dir, CrawlConfig(**base, bloom_min_seen=1))
+    assert _final_state(spark, crossing) == golden
+    # gate crossed after iteration 0 → sketches exist with this run's modulus
+    bloom = crossing.read(spark, "bloom")
+    assert bloom is not None and bloom.count() > 0
+
+
+def test_bloom_rebuilt_after_gap_iteration(spark, tmp_path, t1_dir):
+    """A committed iteration without a bloom write (here: a below-gate run)
+    leaves the stored sketches stale; a later above-gate resume must detect
+    the stale snapshot via the manifest and rebuild from seen — the ADVICE
+    scenario where the old start-iter-only migration guard raised."""
+    base = dict(iterations=2, max_per_host=10, window_ms=10_000)
+    cat = SnapshotCatalog(str(tmp_path / "gap"))
+    # iteration 0 writes sketches; iteration 1 runs below the gate (no bloom
+    # write) by flipping the threshold between runs
+    run_crawl(spark, cat, t1_dir, CrawlConfig(**base, bloom_min_seen=0))
+    run_crawl(spark, cat, t1_dir,
+              CrawlConfig(iterations=3, max_per_host=10, window_ms=10_000,
+                          bloom_min_seen=10**9))
+    assert cat.latest_iter("bloom") < cat.latest_iter("seen")  # stale on disk
+    # resume above the gate: stale bloom must be rebuilt, run must equal an
+    # uninterrupted always-bloom run
+    run_crawl(spark, cat, t1_dir,
+              CrawlConfig(iterations=4, max_per_host=10, window_ms=10_000,
+                          bloom_min_seen=0))
+    pure = SnapshotCatalog(str(tmp_path / "pure"))
+    run_crawl(spark, pure, t1_dir,
+              CrawlConfig(iterations=4, max_per_host=10, window_ms=10_000,
+                          bloom_min_seen=0))
+    assert _final_state(spark, cat) == _final_state(spark, pure)
+    assert cat.latest_iter("bloom") == cat.latest_iter("seen")

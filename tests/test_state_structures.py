@@ -221,3 +221,24 @@ def test_read_incremental_excludes_orphan_appends(spark, tmp_path, t1_dir):
     assert delta == committed  # orphan invisible by default
     explicit = cat.read_incremental(spark, "results", after_iter=-1, until_iter=7)
     assert explicit.count() == len(committed) + 3  # opt-in still possible
+
+
+def test_read_incremental_empty_lineage_caps_window(spark, tmp_path):
+    """A catalog whose lineage table EXISTS but holds no committed snapshot
+    (crash before the first finalizer / post-rollback state) must cap the
+    default window at -1 — an unbounded window would ingest exactly the
+    orphan appends rollback_above is about to delete."""
+    import os
+
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "el"))
+    orphan = spark.range(5).select(F.col("id").alias("url_hash"))
+    cat.write(orphan, "results", mode="append", meta={"iter": 0})
+    # lineage table created but its finalizer never landed
+    os.makedirs(os.path.join(cat.root, "lineage"), exist_ok=True)
+    assert cat.read_incremental(spark, "results", after_iter=-1) is None
+    # no lineage table at all (raw catalog use) stays unbounded
+    cat2 = SnapshotCatalog(str(tmp_path / "el2"))
+    cat2.write(orphan, "results", mode="append", meta={"iter": 0})
+    assert cat2.read_incremental(spark, "results", after_iter=-1).count() == 5
