@@ -33,11 +33,11 @@ HEADLINE = [
     "filter_swiss_flags",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_embedding_lsh_pairs",
+    "dedup_embedding_pairs",
     "sim_topk_bruteforce",
-    "sim_ann_lsh",
-    "text_token_count",
-    "text_lang_id",
+    "sim_ann_suite",
+    "text_token_counts",
+    "text_lang_quality",
     "robots_parse",
 ]
 

@@ -20,16 +20,6 @@ from nightcrawler_ds_pipeline_spark.operators.sqlfrags import (
 
 # A1 — keyword aggregate (reference keywords_selection.py:68-97):
 # groupby(keyword).agg(volume=sum, location=first) → here over documents.
-@register(
-    "agg_keyword_volume",
-    oracle="""
-    SELECT lang AS grp,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_volume,
-           MIN(source) AS first_source,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM documents GROUP BY lang ORDER BY grp
-    """,
-)
 def agg_keyword_volume(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return (
@@ -66,13 +56,6 @@ def agg_url_traffic(spark, sf_dir):
 
 
 # A3 — offerRoot counts (s01_serp_api.py:216-222): Counter → groupBy().count()
-@register(
-    "agg_offer_root_counts",
-    oracle="""
-    SELECT o_orderpriority AS offer_root, CAST(COUNT(*) AS BIGINT) AS n
-    FROM orders GROUP BY 1 ORDER BY 1
-    """,
-)
 def agg_offer_root_counts(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     return (
@@ -83,10 +66,6 @@ def agg_offer_root_counts(spark, sf_dir):
 
 
 # A4 — stage row count (base.py:323-327): numberOfResultsAfterStage
-@register(
-    "agg_stage_count",
-    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem",
-)
 def agg_stage_count(spark, sf_dir):
     return read_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
 
@@ -113,15 +92,6 @@ def agg_value_counts_prop(spark, sf_dir):
 
 
 # A7 — distinct domains (helpers/utils.py:215-231): dedup url → host → dedup
-@register(
-    "agg_distinct_domains",
-    oracle=SYNTH_URLS_CTE
-    + """
-    SELECT CAST(COUNT(DISTINCT regexp_extract(url, 'https?://([^/]+)', 1)) AS BIGINT)
-           AS n_domains
-    FROM (SELECT DISTINCT url FROM urls)
-    """,
-)
 def agg_distinct_domains(spark, sf_dir):
     urls = synth_urls(spark, sf_dir).dropDuplicates(["url"])
     hosts = urls.withColumn(
@@ -203,3 +173,64 @@ def agg_usage_merge(spark, sf_dir):
         .agg(F.sum(F.floor(F.col("value")).cast("long")).alias("calls"))
         .orderBy("api")
     )
+
+
+# --- composite driver queries ------------------------------------------------
+# A1+A3 and A4+A7 folded into two registered entries so the driver's bounded
+# sample always hash-checks them (sub-aggregates stay callable). Sentinels
+# ('' / -1) instead of NULL in union cells — see setop_suite for why.
+@register(
+    "agg_group_counts",
+    oracle="""
+    SELECT part, grp, CAST(sum_volume AS BIGINT) AS sum_volume,
+           first_source, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT 'keyword' AS part, lang AS grp, SUM(n_chars) AS sum_volume,
+             MIN(source) AS first_source, COUNT(*) AS n
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'offer_root', o_orderpriority, -1, '', COUNT(*)
+      FROM orders GROUP BY o_orderpriority
+    )
+    ORDER BY part, grp
+    """,
+)
+def agg_group_counts(spark, sf_dir):
+    kw = agg_keyword_volume(spark, sf_dir).select(
+        F.lit("keyword").alias("part"),
+        "grp",
+        F.col("sum_volume").cast("long").alias("sum_volume"),
+        "first_source",
+        F.col("n").cast("long").alias("n"),
+    )
+    roots = agg_offer_root_counts(spark, sf_dir).select(
+        F.lit("offer_root").alias("part"),
+        F.col("offer_root").alias("grp"),
+        F.lit(-1).cast("long").alias("sum_volume"),
+        F.lit("").alias("first_source"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return kw.unionByName(roots).orderBy("part", "grp")
+
+
+@register(
+    "agg_count_suite",
+    oracle=SYNTH_URLS_CTE
+    + """
+    SELECT 'lineitem_count' AS part, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL
+    SELECT 'distinct_domains',
+           CAST(COUNT(DISTINCT regexp_extract(url, 'https?://([^/]+)', 1)) AS BIGINT)
+    FROM (SELECT DISTINCT url FROM urls)
+    ORDER BY part
+    """,
+)
+def agg_count_suite(spark, sf_dir):
+    stage = agg_stage_count(spark, sf_dir).select(
+        F.lit("lineitem_count").alias("part"), F.col("n").cast("long").alias("n")
+    )
+    domains = agg_distinct_domains(spark, sf_dir).select(
+        F.lit("distinct_domains").alias("part"),
+        F.col("n_domains").cast("long").alias("n"),
+    )
+    return stage.unionByName(domains).orderBy("part")

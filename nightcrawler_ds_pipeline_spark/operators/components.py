@@ -197,7 +197,6 @@ def dedup_connected_components(spark, sf_dir):
 
 # --- reuse: phash near-dup pairs → image dup groups (rows-only; binary
 # codec upstream has no SQL twin — pytest pins a planted-cluster case) -------
-@register("image_phash_groups")
 def image_phash_groups(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.operators.multimodal import (
         image_phash_neardup,

@@ -167,28 +167,6 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 
 # --- n-gram (token-set) Jaccard ----------------------------------------------
-@register(
-    "dedup_jaccard_pairs",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
-      FROM documents WHERE doc_id < 150
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE i / (sa.sz + sb.sz - i) >= 0.8
-    ORDER BY id_a, id_b
-    """,
-)
 def dedup_jaccard_pairs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     tok = docs.select(
@@ -215,33 +193,6 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 # --- 3-gram (word-shingle) Jaccard — the n-gram form of the above ------------
-@register(
-    "dedup_shingle_jaccard_pairs",
-    oracle=f"""
-    WITH words AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-      FROM documents WHERE doc_id < 150
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             unnest([array_to_string(w[i:i+2], ' ')
-                     for i in generate_series(1, len(w) - 2)]) AS s
-      FROM words WHERE len(w) >= 3
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    ORDER BY jaccard DESC, id_a, id_b
-    LIMIT 100
-    """,
-)
 def dedup_shingle_jaccard_pairs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     words = docs.select(
@@ -374,3 +325,68 @@ def dedup_simhash(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- composite driver query --------------------------------------------------
+# Token-set + 3-gram-shingle Jaccard folded into one registered entry so the
+# driver's bounded sample always hash-checks both (sub-ops stay callable).
+_JACCARD_SUITE_SQL = f"""
+SELECT part, id_a, id_b, jaccard FROM (
+  SELECT 'token' AS part, * FROM (
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w
+      FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.8
+    ORDER BY id_a, id_b
+  )
+  UNION ALL
+  SELECT 'shingle', * FROM (
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 150
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in generate_series(1, len(w) - 2)]) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 100
+  )
+)
+ORDER BY part, id_a, id_b
+"""
+
+
+@register("dedup_jaccard_suite", oracle=_JACCARD_SUITE_SQL)
+def dedup_jaccard_suite(spark, sf_dir):
+    tok = dedup_jaccard_pairs(spark, sf_dir).select(
+        F.lit("token").alias("part"), "id_a", "id_b", "jaccard"
+    )
+    sh = dedup_shingle_jaccard_pairs(spark, sf_dir).select(
+        F.lit("shingle").alias("part"), "id_a", "id_b", "jaccard"
+    )
+    return tok.unionByName(sh).orderBy("part", "id_a", "id_b")

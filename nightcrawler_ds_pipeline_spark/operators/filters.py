@@ -115,18 +115,6 @@ def filter_swiss_flags(spark, sf_dir):
 
 
 # P10 — country filter (s05:58-67): CH keeps result_sold_CH rows
-@register(
-    "filter_country_ch",
-    oracle=SYNTH_URLS_CTE
-    + f"""
-    , priced AS (SELECT url, o_orderkey, {_PRICE_SQL} AS price FROM urls)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_sold_ch
-    FROM priced
-    WHERE ({_contains_any_sql("url", SWISS_SHOPS)}
-           OR {_contains_any_sql("url", SWISS_WEB_EXTENSIONS)}
-           OR {_contains_any_sql("price", SWISS_FRANCS)})
-    """,
-)
 def filter_country_ch(spark, sf_dir):
     urls = synth_urls(spark, sf_dir).withColumn("price", _price_col())
     flagged = add_swiss_features(urls, "url", "price")
@@ -137,15 +125,6 @@ def filter_country_ch(spark, sf_dir):
 
 # P11 — page-type threshold (s07:17,31-54): null/0 proba → OTHER; strictly
 # greater than 0.4 → ECOMMERCE_PRODUCT.
-@register(
-    "filter_page_type",
-    oracle="""
-    SELECT event_id,
-           CASE WHEN COALESCE(value, 0) > 0.4 THEN 'ecommerce_product'
-                ELSE 'other' END AS page_type
-    FROM events ORDER BY event_id
-    """,
-)
 def filter_page_type(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     return events.select(
@@ -220,19 +199,6 @@ def filter_keyword_blacklist(spark, sf_dir):
 
 # P2 — URL canonicalization parity: the engine's urllib-exact pandas UDF vs
 # a closed-form oracle for the three synthesized query-string families.
-@register(
-    "project_canonical_urls",
-    oracle=SYNTH_URLS_CTE
-    + """
-    SELECT url,
-           concat(
-             'https://shop', CAST(o_custkey % 50 AS VARCHAR), '.example.com/p/',
-             CAST(o_orderkey AS VARCHAR),
-             CASE WHEN o_orderkey % 4 = 0 THEN '?aa=bb' ELSE '' END
-           ) AS canonical_url
-    FROM urls ORDER BY url
-    """,
-)
 def project_canonical_urls(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.urls import canonicalize_udf
 
@@ -247,17 +213,6 @@ def project_canonical_urls(spark, sf_dir):
 # is the closed form for the synth corpus charset (letters/digits/._- are
 # quote_plus-safe; ':' '/' '?' '=' '&' encode to %XX on pass 1 and the '%'
 # re-encodes to %25 on pass 2).
-@register(
-    "project_double_urlencode",
-    oracle=SYNTH_URLS_CTE
-    + """
-    SELECT url,
-           replace(replace(replace(replace(replace(
-             url, ':', '%253A'), '/', '%252F'), '?', '%253F'),
-             '=', '%253D'), '&', '%2526') AS encoded
-    FROM urls ORDER BY url
-    """,
-)
 def project_double_urlencode(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.urls import double_urlencode_udf
 
@@ -269,15 +224,6 @@ def project_double_urlencode(spark, sf_dir):
 
 # P3 — language-path cleaning (utils.py:280-298): /xx-yy/ segments stripped,
 # query dropped.
-@register(
-    "project_clean_urls",
-    oracle="""
-    SELECT concat('https://x.com/ch-de/p/', CAST(o_orderkey AS VARCHAR),
-                  '?q=1') AS url,
-           concat('https://x.com/p/', CAST(o_orderkey AS VARCHAR)) AS cleaned
-    FROM orders ORDER BY url
-    """,
-)
 def project_clean_urls(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.urls import clean_url_udf
 
@@ -290,3 +236,83 @@ def project_clean_urls(spark, sf_dir):
         ).alias("url")
     )
     return urls.select("url", clean_url_udf(F.col("url")).alias("cleaned")).orderBy("url")
+
+
+# --- composite driver queries ------------------------------------------------
+# Single registered entries so the driver's bounded sample always hash-checks
+# P10/P11 and P2/P3/F8 (the sub-operators above stay callable). Sentinel ''
+# fills keep every union sort key non-null (Spark NULLS FIRST vs DuckDB
+# NULLS LAST would silently diverge row order under the driver's hash).
+@register(
+    "filter_threshold_suite",
+    oracle=SYNTH_URLS_CTE
+    + f"""
+    , priced AS (SELECT url, o_orderkey, {_PRICE_SQL} AS price FROM urls)
+    SELECT part, k, v FROM (
+      SELECT 'page_type' AS part, CAST(event_id AS VARCHAR) AS k,
+             CASE WHEN COALESCE(value, 0) > 0.4 THEN 'ecommerce_product'
+                  ELSE 'other' END AS v
+      FROM events
+      UNION ALL
+      SELECT 'country_ch', '', CAST(COUNT(*) AS VARCHAR)
+      FROM priced
+      WHERE ({_contains_any_sql("url", SWISS_SHOPS)}
+             OR {_contains_any_sql("url", SWISS_WEB_EXTENSIONS)}
+             OR {_contains_any_sql("price", SWISS_FRANCS)})
+    )
+    ORDER BY part, k
+    """,
+)
+def filter_threshold_suite(spark, sf_dir):
+    page = filter_page_type(spark, sf_dir).select(
+        F.lit("page_type").alias("part"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("page_type").alias("v"),
+    )
+    country = filter_country_ch(spark, sf_dir).select(
+        F.lit("country_ch").alias("part"),
+        F.lit("").alias("k"),
+        F.col("n_sold_ch").cast("string").alias("v"),
+    )
+    return page.unionByName(country).orderBy("part", "k")
+
+
+@register(
+    "project_url_suite",
+    oracle=SYNTH_URLS_CTE
+    + """
+    SELECT part, url, out FROM (
+      SELECT 'canon' AS part, url,
+             concat(
+               'https://shop', CAST(o_custkey % 50 AS VARCHAR), '.example.com/p/',
+               CAST(o_orderkey AS VARCHAR),
+               CASE WHEN o_orderkey % 4 = 0 THEN '?aa=bb' ELSE '' END
+             ) AS out
+      FROM urls
+      UNION ALL
+      SELECT 'dblenc', url,
+             replace(replace(replace(replace(replace(
+               url, ':', '%253A'), '/', '%252F'), '?', '%253F'),
+               '=', '%253D'), '&', '%2526')
+      FROM urls
+      UNION ALL
+      SELECT 'clean',
+             concat('https://x.com/ch-de/p/', CAST(o_orderkey AS VARCHAR), '?q=1'),
+             concat('https://x.com/p/', CAST(o_orderkey AS VARCHAR))
+      FROM orders
+    )
+    ORDER BY part, url
+    """,
+)
+def project_url_suite(spark, sf_dir):
+    def tag(df, part, out_col):
+        return df.select(
+            F.lit(part).alias("part"), "url", F.col(out_col).alias("out")
+        )
+
+    return (
+        tag(project_canonical_urls(spark, sf_dir), "canon", "canonical_url")
+        .unionByName(tag(project_double_urlencode(spark, sf_dir), "dblenc", "encoded"))
+        .unionByName(tag(project_clean_urls(spark, sf_dir), "clean", "cleaned"))
+        .orderBy("part", "url")
+    )

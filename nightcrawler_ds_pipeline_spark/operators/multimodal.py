@@ -24,7 +24,6 @@ def _images(spark):
 
 
 # binary decode via Arrow-batched mapInPandas: (w,h,phash,decode_ok) stats
-@register("image_decode_stats")
 def image_decode_stats(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.image_udfs import decode_images
 
@@ -51,7 +50,6 @@ def image_decode_stats(spark, sf_dir):
 
 
 # exact phash dedup over the image corpus
-@register("image_phash_dedup")
 def image_phash_dedup(spark, sf_dir):
     imgs = _images(spark).filter(F.col("phash") != 0)
     return (
@@ -65,7 +63,6 @@ def image_phash_dedup(spark, sf_dir):
 # near-dup via hamming-band self-join: band on the top 16 bits of phash,
 # confirm with bit_count(xor) ≤ 6 — the banded form scales (band equi-join
 # instead of all-pairs).
-@register("image_phash_neardup")
 def image_phash_neardup(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.image_udfs import hamming64_col
 
@@ -92,7 +89,6 @@ def image_phash_neardup(spark, sf_dir):
 
 
 # real area-average image resize (thumbnailing) over the binary column
-@register("image_resize_stats")
 def image_resize_stats(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.multimodal_udfs import resize_images
 
@@ -109,7 +105,6 @@ def image_resize_stats(spark, sf_dir):
 
 # audio feature extraction (codec step stubbed — no audio lib in env;
 # Spark plumbing + Arrow batching real)
-@register("audio_feature_stats")
 def audio_feature_stats(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.fixtures.multimodal import gen_audio_pdf
     from nightcrawler_ds_pipeline_spark.functions.multimodal_udfs import audio_features
@@ -128,7 +123,6 @@ def audio_feature_stats(spark, sf_dir):
 
 
 # video frame sampling (codec step stubbed — no video lib in env)
-@register("video_frame_sample_stats")
 def video_frame_sample_stats(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.fixtures.multimodal import gen_video_pdf
     from nightcrawler_ds_pipeline_spark.functions.multimodal_udfs import (
@@ -171,3 +165,71 @@ def crawl_iteration_snapshot(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- composite driver queries (rows-only — binary codecs have no SQL twin) ---
+# Folded so the driver's bounded sample covers every multimodal path each
+# round; pytest (test_codecs/test_multimodal/test_components) pins values.
+@register("image_decode_resize_stats")
+def image_decode_resize_stats(spark, sf_dir):
+    dec = image_decode_stats(spark, sf_dir).select(
+        F.lit("decode").alias("part"), "fmt", F.col("decode_ok").alias("ok"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_dims_match").cast("double").alias("m1"),
+        F.col("n_phash_match").cast("double").alias("m2"),
+    )
+    rs = image_resize_stats(spark, sf_dir).select(
+        F.lit("resize").alias("part"), "fmt", F.col("resize_ok").alias("ok"),
+        F.col("n").cast("long").alias("n"),
+        F.col("avg_thumb_mean").cast("double").alias("m1"),
+        F.lit(-1.0).alias("m2"),
+    )
+    return dec.unionByName(rs).orderBy("part", "fmt", "ok")
+
+
+@register("image_phash_suite")
+def image_phash_suite(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.operators.components import (
+        image_phash_groups,
+    )
+
+    exact = image_phash_dedup(spark, sf_dir).select(
+        F.lit("exact").alias("part"),
+        F.col("phash").cast("string").alias("k1"),
+        F.col("keep_id").alias("k2"),
+        F.col("group_size").cast("long").alias("n"),
+    )
+    near = image_phash_neardup(spark, sf_dir).select(
+        F.lit("neardup").alias("part"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").alias("k2"),
+        F.col("hamming").cast("long").alias("n"),
+    )
+    groups = image_phash_groups(spark, sf_dir).select(
+        F.lit("groups").alias("part"),
+        F.col("image_id").alias("k1"),
+        F.col("group_id").alias("k2"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    return exact.unionByName(near).unionByName(groups).orderBy("part", "k1", "k2")
+
+
+@register("av_feature_stats")
+def av_feature_stats(spark, sf_dir):
+    audio = audio_feature_stats(spark, sf_dir).select(
+        F.lit("audio").alias("part"),
+        F.col("sample_rate").cast("long").alias("rate"),
+        F.col("decode_ok").alias("ok"),
+        F.col("n").cast("long").alias("n"),
+        F.col("avg_rms").cast("double").alias("v1"),
+        F.col("avg_duration_s").cast("double").alias("v2"),
+    )
+    video = video_frame_sample_stats(spark, sf_dir).select(
+        F.lit("video").alias("part"),
+        F.col("fps").cast("long").alias("rate"),
+        F.col("decode_ok").alias("ok"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_sampled").cast("double").alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    return audio.unionByName(video).orderBy("part", "rate", "ok")

@@ -102,15 +102,6 @@ def scan_explode_coalesce(spark, sf_dir):
 
 
 # F10 — base64 round-trip (s04:152, llm_apis.py:176-181)
-@register(
-    "scan_base64",
-    oracle="""
-    SELECT o_orderpriority AS s,
-           to_base64(CAST(o_orderpriority AS BLOB)) AS b64
-    FROM (SELECT DISTINCT o_orderpriority FROM orders)
-    ORDER BY s
-    """,
-)
 def scan_base64(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     return (
@@ -123,13 +114,6 @@ def scan_base64(spark, sf_dir):
 
 # F12 — the reference's %Y-%m-%d_%H-%M-%S run-timestamp format
 # (base.py:131-133), applied to a data column (run_ts itself is injected).
-@register(
-    "scan_ts_format",
-    oracle="""
-    SELECT event_id, strftime(ts, '%Y-%m-%d_%H-%M-%S') AS ts_str
-    FROM events ORDER BY event_id
-    """,
-)
 def scan_ts_format(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     return events.select(
@@ -140,16 +124,6 @@ def scan_ts_format(spark, sf_dir):
 # Streaming analogue (SURVEY §2.10): tumbling 5-minute windowed aggregation
 # over the events stream table — batch form here (oracle-checked); the
 # Structured Streaming form with watermark runs in pytest and must agree.
-@register(
-    "stream_tumbling_window_agg",
-    oracle="""
-    SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS window_start_epoch,
-           event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
 def stream_tumbling_window_agg(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     return (
@@ -166,20 +140,6 @@ def stream_tumbling_window_agg(spark, sf_dir):
 
 # Sessionization (guide pattern; crawl analogue: visit sessions per host):
 # lag + gap>threshold cumulative session ids.
-@register(
-    "stream_sessionize",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
-                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
-    FROM marked GROUP BY user_id ORDER BY user_id
-    """,
-)
 def stream_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -246,3 +206,76 @@ def robots_parse(spark, sf_dir):
         body.alias("body"),
     )
     return parse_robots(raw).orderBy("host")
+
+
+# --- composite driver queries ------------------------------------------------
+# F10+F12 and the two stream-shaped queries folded so the driver's bounded
+# sample always hash-checks them. Sentinel '' fills — see setop_suite.
+@register(
+    "scan_codec_suite",
+    oracle="""
+    SELECT part, k, v FROM (
+      SELECT 'b64' AS part, o_orderpriority AS k,
+             to_base64(CAST(o_orderpriority AS BLOB)) AS v
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+      UNION ALL
+      SELECT 'ts', CAST(event_id AS VARCHAR), strftime(ts, '%Y-%m-%d_%H-%M-%S')
+      FROM events
+    )
+    ORDER BY part, k
+    """,
+)
+def scan_codec_suite(spark, sf_dir):
+    b64 = scan_base64(spark, sf_dir).select(
+        F.lit("b64").alias("part"), F.col("s").alias("k"), F.col("b64").alias("v")
+    )
+    ts = scan_ts_format(spark, sf_dir).select(
+        F.lit("ts").alias("part"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("ts_str").alias("v"),
+    )
+    return b64.unionByName(ts).orderBy("part", "k")
+
+
+@register(
+    "stream_suite",
+    oracle="""
+    SELECT part, k1, k2, CAST(n AS BIGINT) AS n, CAST(v AS DOUBLE) AS v
+    FROM (
+      SELECT 'tumbling' AS part,
+             CAST(CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS VARCHAR) AS k1,
+             event_type AS k2, COUNT(*) AS n, ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2, event_type
+      UNION ALL
+      SELECT 'sessionize', CAST(user_id AS VARCHAR), '', n_sessions, -1.0
+      FROM (
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, SUM(new_session) AS n_sessions
+        FROM marked GROUP BY user_id
+      )
+    )
+    ORDER BY part, k1, k2
+    """,
+)
+def stream_suite(spark, sf_dir):
+    tumb = stream_tumbling_window_agg(spark, sf_dir).select(
+        F.lit("tumbling").alias("part"),
+        F.col("window_start_epoch").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("v"),
+    )
+    sess = stream_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("part"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_sessions").cast("long").alias("n"),
+        F.lit(-1.0).alias("v"),
+    )
+    return tumb.unionByName(sess).orderBy("part", "k1", "k2")

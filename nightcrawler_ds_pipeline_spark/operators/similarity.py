@@ -92,15 +92,6 @@ def sim_topk_bruteforce(spark, sf_dir):
 
 
 # embedding-cosine near-duplicate pairs (semantic dedup)
-@register(
-    "dedup_embedding_cosine_pairs",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_DUCK}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id < 300 AND b.vec_id < 300 AND {_COS_DUCK} >= 0.9
-    ORDER BY id_a, id_b
-    """,
-)
 def dedup_embedding_cosine_pairs(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
@@ -216,15 +207,6 @@ def embedding_lsh_pairs(
 # missed with p ≈ 0.02 at K=10 (0.79^16), so this oracle would need a
 # re-check then; recall on data WITH planted near-dups is pinned ≥0.9 in
 # tests/test_similarity_recall.py either way.
-@register(
-    "dedup_embedding_lsh_pairs",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_DUCK}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_DUCK} >= 0.9
-    ORDER BY id_a, id_b
-    """,
-)
 def dedup_embedding_lsh_pairs(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_lsh_pairs(spark, emb, threshold=0.9)
@@ -302,13 +284,11 @@ def ivf_topk(
     )
 
 
-@register("sim_ann_ivf")  # no oracle — rows-only; recall vs brute force in pytest
 def sim_ann_ivf(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(spark, emb)
 
 
-@register("sim_ann_lsh")  # no oracle — rows-only; recall vs brute force in pytest
 def sim_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets_udf(spark)
@@ -350,3 +330,46 @@ def sim_ann_lsh(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+# --- composite driver queries ------------------------------------------------
+# Exact-bounded + LSH semantic-dedup pairs fold into one ORACLED entry (both
+# return (id_a,id_b,cosine); the LSH part's exact-all-pairs oracle validity
+# is argued at dedup_embedding_lsh_pairs' docstring), and the two ANN paths
+# fold into one rows-only entry (ANN != exact top-k on the driver's
+# unstructured embeddings — recall pinned in tests/test_similarity_recall.py).
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    SELECT part, id_a, id_b, cosine FROM (
+      SELECT 'exact300' AS part, a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_COS_DUCK}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 300 AND b.vec_id < 300 AND {_COS_DUCK} >= 0.9
+      UNION ALL
+      SELECT 'lsh', a.vec_id, b.vec_id, ROUND({_COS_DUCK}, 6)
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_COS_DUCK} >= 0.9
+    )
+    ORDER BY part, id_a, id_b
+    """,
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    exact = dedup_embedding_cosine_pairs(spark, sf_dir).select(
+        F.lit("exact300").alias("part"), "id_a", "id_b", "cosine"
+    )
+    lsh = dedup_embedding_lsh_pairs(spark, sf_dir).select(
+        F.lit("lsh").alias("part"), "id_a", "id_b", "cosine"
+    )
+    return exact.unionByName(lsh).orderBy("part", "id_a", "id_b")
+
+
+@register("sim_ann_suite")  # rows-only: see composite docnote above
+def sim_ann_suite(spark, sf_dir):
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("part"), "query_id", "neighbor_id", "rank", "cosine"
+    )
+    ivf = sim_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("part"), "query_id", "neighbor_id", "rank", "cosine"
+    )
+    return lsh.unionByName(ivf).orderBy("part", "query_id", "rank")

@@ -19,16 +19,6 @@ _WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 # token counting: whitespace tokens + a BPE-ish subword estimate
 # (reference analogue: count_tokens at helpers/utils.py:175-179)
-@register(
-    "text_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(CASE WHEN trim(text) = '' THEN 0
-                ELSE len({_WORDS_DUCK}) END AS BIGINT) AS n_tokens,
-           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est
-    FROM documents ORDER BY doc_id
-    """,
-)
 def text_token_count(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
@@ -49,15 +39,6 @@ def text_token_count(spark, sf_dir):
 _BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 
-@register(
-    "text_bpe_tokens",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
-             AS n_bpe_tokens
-    FROM documents ORDER BY doc_id
-    """,
-)
 def text_bpe_tokens(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
@@ -117,22 +98,6 @@ def quality_col():
     )
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             {_score_sql(_LANG_MARKERS["en"], _WORDS_DUCK)} AS s_en,
-             {_score_sql(_LANG_MARKERS["qd"], _WORDS_DUCK)} AS s_qd,
-             {_score_sql(_LANG_MARKERS["qs"], _WORDS_DUCK)} AS s_qs
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE WHEN s_en >= s_qd AND s_en >= s_qs THEN 'en'
-                WHEN s_qd >= s_qs THEN 'qd' ELSE 'qs' END AS lang_pred
-    FROM scored ORDER BY doc_id
-    """,
-)
 def text_lang_id(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
@@ -141,23 +106,6 @@ def text_lang_id(spark, sf_dir):
 
 
 # quality scoring: length / mean-word-length / stopword-ratio composite
-@register(
-    "text_quality_score",
-    oracle=f"""
-    WITH stats AS (
-      SELECT doc_id,
-             LENGTH(text) AS n_chars_calc,
-             len({_WORDS_DUCK}) AS n_words,
-             ({_score_sql(_LANG_MARKERS["en"], _WORDS_DUCK)}) AS stop_hits
-      FROM documents WHERE trim(text) <> ''
-    )
-    SELECT doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           LEAST(n_chars_calc / 500.0, 1.0) * 0.5
-             + LEAST(stop_hits / 4.0, 1.0) * 0.5 AS quality
-    FROM stats ORDER BY doc_id
-    """,
-)
 def text_quality_score(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
     return docs.select(
@@ -169,13 +117,6 @@ def text_quality_score(spark, sf_dir):
 
 # document fingerprint: md5 of the normalized text (the SQL-checkable
 # fingerprint; a rolling-hash variant is exercised in pytest).
-@register(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id, md5(lower(trim(text))) AS fp
-    FROM documents ORDER BY doc_id
-    """,
-)
 def text_fingerprint(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
@@ -185,18 +126,6 @@ def text_fingerprint(spark, sf_dir):
 
 # clean_short_text normalization (reference utils.py:162-172) — exercised on
 # document text in both engines.
-@register(
-    "text_clean_short",
-    oracle="""
-    SELECT doc_id,
-           trim(regexp_replace(
-             replace(regexp_replace(
-               replace(replace(lower(text), chr(10), ' '), chr(9), ' '),
-               '["'']', '', 'g'), '-', ' '),
-             ' +', ' ', 'g')) AS clean
-    FROM documents ORDER BY doc_id
-    """,
-)
 def text_clean_short(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.text import clean_short_text_col
 
@@ -204,3 +133,79 @@ def text_clean_short(spark, sf_dir):
     return docs.select("doc_id", clean_short_text_col("text").alias("clean")).orderBy(
         "doc_id"
     )
+
+
+# --- composite driver queries ------------------------------------------------
+# The six per-document text stats fold into three wide-row entries (same
+# source, same doc_id order) so the driver's bounded sample always
+# hash-checks them; every sub-operator above stays callable.
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len({_WORDS_DUCK}) END AS BIGINT) AS n_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    a = text_token_count(spark, sf_dir)
+    b = text_bpe_tokens(spark, sf_dir)
+    return a.join(b, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(regexp_replace(
+               replace(replace(lower(text), chr(10), ' '), chr(9), ' '),
+               '["'']', '', 'g'), '-', ' '),
+             ' +', ' ', 'g')) AS clean,
+           md5(lower(trim(text))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_normalize(spark, sf_dir):
+    a = text_clean_short(spark, sf_dir)
+    b = text_fingerprint(spark, sf_dir)
+    return a.join(b, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_lang_quality",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             {_score_sql(_LANG_MARKERS["en"], _WORDS_DUCK)} AS s_en,
+             {_score_sql(_LANG_MARKERS["qd"], _WORDS_DUCK)} AS s_qd,
+             {_score_sql(_LANG_MARKERS["qs"], _WORDS_DUCK)} AS s_qs
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_qd AND s_en >= s_qs THEN 'en'
+                WHEN s_qd >= s_qs THEN 'qd' ELSE 'qs' END AS lang_pred,
+           CAST(CASE WHEN trim(text) <> '' THEN len({_WORDS_DUCK}) END
+                AS BIGINT) AS n_words,
+           CASE WHEN trim(text) <> ''
+                THEN LEAST(LENGTH(text) / 500.0, 1.0) * 0.5
+                     + LEAST(s_en / 4.0, 1.0) * 0.5 END AS quality
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_lang_quality(spark, sf_dir):
+    # n_words/quality are NULL for whitespace-only docs (they are data
+    # columns, not sort keys — doc_id is the total order, so NULL is safe)
+    docs = read_table(spark, sf_dir, "documents")
+    nonempty = F.trim("text") != ""
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_pred_col().alias("lang_pred"),
+        F.when(nonempty, F.size(_words_col())).cast("long").alias("n_words"),
+        F.when(nonempty, quality_col()).alias("quality"),
+    ).orderBy("doc_id")

@@ -88,8 +88,12 @@ def test_approx_distinct_domains_error_bound(spark):
     """HLL sketch count must land within 5% of the exact count (rsd=0.02)."""
     import __spark_entry__ as e
 
+    from nightcrawler_ds_pipeline_spark.operators.aggregates import (
+        agg_distinct_domains,
+    )
+
     qs = e.queries()
-    exact = qs["agg_distinct_domains"](spark, SF_DIR).collect()[0]["n_domains"]
+    exact = agg_distinct_domains(spark, SF_DIR).collect()[0]["n_domains"]
     approx = qs["agg_approx_distinct_domains"](spark, SF_DIR).collect()[0][
         "n_domains_approx"
     ]
