@@ -209,3 +209,50 @@ def text_lang_quality(spark, sf_dir):
         F.when(nonempty, F.size(_words_col())).cast("long").alias("n_words"),
         F.when(nonempty, quality_col()).alias("quality"),
     ).orderBy("doc_id")
+
+
+# --- real tokenizer / real language-ID (rows-only; pure-python twins are the
+# pytest oracle — a merges-table BPE and a trigram scorer have no SQL twin) --
+@register("text_bpe_real")
+def text_bpe_real(spark, sf_dir):
+    """Real merges-table BPE token counts (functions/bpe.py), vs the cheap
+    pre-tokenizer estimate. Merges are trained once on a bounded,
+    deterministic corpus sample (doc_id < 100, ordered) — training is
+    inherently a sample-then-freeze operation; application is an
+    Arrow-batched pandas UDF with the ranks table broadcast."""
+    from nightcrawler_ds_pipeline_spark.functions.bpe import (
+        bpe_token_count_udf,
+        train_bpe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sample = [
+        r["text"]
+        for r in docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    merges = train_bpe(sample, num_merges=256)
+    count = bpe_token_count_udf(spark, merges)
+    return docs.select(
+        "doc_id",
+        count(F.col("text")).alias("n_bpe_real"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long").alias(
+            "n_bpe_pretok"
+        ),
+    ).orderBy("doc_id")
+
+
+@register("text_lang_id_ngram")
+def text_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (functions/langid.py) over documents —
+    the real-model counterpart of the oracle-parity marker heuristic
+    (text_lang_id above keeps the DuckDB-twinnable arithmetic)."""
+    from nightcrawler_ds_pipeline_spark.functions.langid import langid_udf
+
+    docs = read_table(spark, sf_dir, "documents")
+    lang = langid_udf(spark)
+    return docs.select(
+        "doc_id", "lang", lang(F.col("text")).alias("lang_pred_ngram")
+    ).orderBy("doc_id")
