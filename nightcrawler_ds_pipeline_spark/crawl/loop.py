@@ -34,8 +34,10 @@ from nightcrawler_ds_pipeline_spark.crawl.fetch import fetch_batch
 from nightcrawler_ds_pipeline_spark.crawl.seen import (
     DEFAULT_NUM_PARTITIONS,
     build_bloom_partitions,
+    build_cuckoo_partitions,
     filter_unseen,
     merge_bloom_tables,
+    update_cuckoo_tables,
 )
 from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
 from nightcrawler_ds_pipeline_spark.functions.urls import with_canonical
@@ -72,6 +74,12 @@ class CrawlConfig:
     # batch; measured 1.8× t2 crawl slowdown). Crossing the threshold
     # rebuilds the sketches once from the full seen table.
     bloom_min_seen: int = 100_000
+    # which pre-pass sketch to maintain above the gate: "bloom" (OR-merge,
+    # keeps history — cannot delete) or "cuckoo" (multiset insert/delete —
+    # TTL expiries are pruned, so the sketch tracks the ACTIVE seen set;
+    # north_rule "bloom/cuckoo URL-seen"). Either way the sketch never
+    # decides: the exact anti-join against the active seen table does.
+    sketch: str = "bloom"
     # compact the append-mode state tables (seen/results) every k committed
     # iterations — bounds the small-file count the next iteration scans
     # (SnapshotCatalog.compact; the Iceberg rewrite_data_files analogue)
@@ -180,47 +188,63 @@ def run_crawl(
         frontier = catalog.read(spark, "frontier", max_iter=committed)
         if frontier is None:
             frontier = seed_frontier(serp)
-        seen = catalog.read(spark, "seen", max_iter=committed)
-        use_bloom = seen_count >= cfg.bloom_min_seen
-        bloom = (
-            catalog.read(spark, "bloom", max_iter=committed) if use_bloom else None
+        seen_full = catalog.read(spark, "seen", max_iter=committed)
+        # TTL: only still-fresh seen rows suppress a re-fetch — the exact
+        # anti-join against the ACTIVE set decides, so an expired URL
+        # passes and gets re-dequeued (cfg.ttl_iters docstring). seen_full
+        # keeps the history for sketch rebuilds.
+        seen = seen_full
+        if seen_full is not None and cfg.ttl_iters is not None:
+            seen = seen_full.filter(F.col("seen_iter") > it - cfg.ttl_iters)
+
+        use_sketch = seen_count >= cfg.bloom_min_seen
+        sketch_table = "bloom" if cfg.sketch == "bloom" else "cuckoo"
+        sketch = (
+            catalog.read(spark, sketch_table, max_iter=committed)
+            if use_sketch
+            else None
         )
-        # The probe-side sketches must OVER-approximate the seen table (a
-        # "definitely not seen" verdict bypasses the exact anti-join), so a
-        # stored Bloom is usable only if it is both FRESH — written at the
-        # same iteration as the newest seen snapshot; an accrual-only or
-        # below-gate iteration commits lineage without a bloom write — and
-        # GEOMETRY-compatible (same modulus as this run's bloom_partitions;
-        # probing across moduli mis-places keys). Checked every iteration:
-        # both staleness checks are manifest-only and the modulus check is
-        # one .first() on the small sketch table. On any mismatch the seen
-        # table is the source of truth — rebuild from the UNFILTERED seen
-        # set (the Bloom keeps TTL-expired history on purpose; it never
-        # decides).
-        if use_bloom and seen is not None:
-            rebuild = bloom is None or catalog.latest_iter(
-                "bloom", max_iter=committed
+        # The probe-side sketches must OVER-approximate the active seen set
+        # (a "definitely not seen" verdict bypasses the exact anti-join),
+        # so a stored sketch is usable only if it is both FRESH — written
+        # at the same iteration as the newest seen snapshot; an
+        # accrual-only or below-gate iteration commits lineage without a
+        # sketch write — and GEOMETRY-compatible (same modulus as this
+        # run's bloom_partitions; probing across moduli mis-places keys).
+        # Checked every iteration: the staleness check is manifest-only and
+        # the modulus check is one .first() on the small sketch table. On
+        # any mismatch the seen table is the source of truth: the Bloom
+        # rebuilds from the UNFILTERED set (it keeps TTL-expired history on
+        # purpose — it cannot delete), the cuckoo from the ACTIVE set (its
+        # whole point is pruning expiries).
+        if use_sketch and seen is not None:
+            rebuild = sketch is None or catalog.latest_iter(
+                sketch_table, max_iter=committed
             ) < catalog.latest_iter("seen", max_iter=committed)
             if not rebuild:
-                first = bloom.select("num_partitions").first()
+                first = sketch.select("num_partitions").first()
                 rebuild = first is None or int(first[0]) != cfg.bloom_partitions
             if rebuild:
-                bloom = build_bloom_partitions(
-                    seen, num_partitions=cfg.bloom_partitions
-                )
-        # TTL: only still-fresh seen rows suppress a re-fetch. The Bloom
-        # stays unfiltered (it can't delete) — it over-approximates and the
-        # exact anti-join against the ACTIVE seen set decides, so an
-        # expired URL passes and gets re-dequeued (cfg.ttl_iters docstring).
-        if seen is not None and cfg.ttl_iters is not None:
-            seen = seen.filter(F.col("seen_iter") > it - cfg.ttl_iters)
+                if cfg.sketch == "bloom":
+                    sketch = build_bloom_partitions(
+                        seen_full, num_partitions=cfg.bloom_partitions
+                    )
+                else:
+                    sketch = build_cuckoo_partitions(
+                        seen, num_partitions=cfg.bloom_partitions
+                    )
 
-        # 1. not-seen filter (Bloom pre-pass via the map-side co-partitioned
-        # probe — sketches never visit the driver; exact anti-join decider).
-        # Cached: candidates feed BOTH the dequeue and the remaining-frontier
-        # rewrite.
+        # 1. not-seen filter (sketch pre-pass via the map-side
+        # co-partitioned probe — sketches never visit the driver; exact
+        # anti-join decider). Cached: candidates feed BOTH the dequeue and
+        # the remaining-frontier rewrite.
         candidates = filter_unseen(
-            spark, frontier, seen, bloom, num_partitions=cfg.bloom_partitions
+            spark,
+            frontier,
+            seen,
+            sketch,
+            num_partitions=cfg.bloom_partitions,
+            sketch=cfg.sketch,
         ).cache()
 
         # 2. robots gate ONCE (dequeue, remaining-frontier rewrite and
@@ -312,19 +336,47 @@ def run_crawl(
             "url_hash", "canonical_url", F.lit(it).cast("int").alias("seen_iter")
         )
 
-        # 5b. merged Bloom (overwrite snapshot) — only above the size gate;
-        # below it no sketches are maintained at all, and the first
-        # above-gate iteration rebuilds them from the full seen table via
-        # the freshness check at the top of the loop
-        if use_bloom:
-            new_bloom = build_bloom_partitions(
-                new_seen, num_partitions=cfg.bloom_partitions
-            )
-            merged_bloom = (
-                merge_bloom_tables(bloom, new_bloom)
-                if bloom is not None
-                else new_bloom
-            )
+        # 5b. merged sketch (overwrite snapshot) — only above the size
+        # gate; below it no sketches are maintained at all, and the first
+        # above-gate iteration rebuilds them from the seen table via the
+        # freshness check at the top of the loop. Bloom: OR-merge the new
+        # keys in. Cuckoo: insert the new keys AND delete the rows expiring
+        # at the NEXT iteration (the oldest still-active generation), so
+        # the stored sketch matches the active set the next probe runs
+        # against.
+        if use_sketch:
+            if cfg.sketch == "bloom":
+                new_bloom = build_bloom_partitions(
+                    new_seen, num_partitions=cfg.bloom_partitions
+                )
+                merged_sketch = (
+                    merge_bloom_tables(sketch, new_bloom)
+                    if sketch is not None
+                    else new_bloom
+                )
+            else:
+                # deletions = the generation becoming inactive at the NEXT
+                # iteration (seen_iter == it+1-ttl). Must include new_seen:
+                # at ttl_iters=1 this iteration's own rows expire
+                # immediately (insert+delete nets to zero copies).
+                expiring = None
+                if cfg.ttl_iters is not None:
+                    all_seen = (
+                        new_seen
+                        if seen_full is None
+                        else seen_full.select(*new_seen.columns).unionByName(
+                            new_seen
+                        )
+                    )
+                    expiring = all_seen.filter(
+                        F.col("seen_iter") == it + 1 - cfg.ttl_iters
+                    )
+                merged_sketch = update_cuckoo_tables(
+                    sketch,
+                    new_seen,
+                    expiring,
+                    num_partitions=cfg.bloom_partitions,
+                )
 
         # 5c. frontier edges from outlinks; remaining = gated - dequeued + new
         remaining = gated.select(*FRONTIER_COLS).join(
@@ -376,8 +428,8 @@ def run_crawl(
         catalog.write(new_buckets, "politeness", mode="overwrite", meta=meta)
         catalog.write(results, "results", mode="append", meta=meta)
         catalog.write(new_seen, "seen", mode="append", meta=meta)
-        if use_bloom:
-            catalog.write(merged_bloom, "bloom", mode="overwrite", meta=meta)
+        if use_sketch:
+            catalog.write(merged_sketch, sketch_table, mode="overwrite", meta=meta)
         catalog.write(next_frontier, "frontier", mode="overwrite", meta=meta)
 
         # one-pass metrics aggregate (vs one action per counter)

@@ -270,6 +270,7 @@ def filter_unseen(
     key: str = "url_hash",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     probe: str = "copartition",
+    sketch: str = "bloom",
 ) -> DataFrame:
     """Exact not-seen filter with Bloom pre-pass (J2, the workhorse join).
 
@@ -295,6 +296,13 @@ def filter_unseen(
     if bloom_df is None:
         return candidates.join(seen_keys, key, "left_anti")
 
+    if sketch == "cuckoo":
+        # cuckoo sketches share the probe contract (false positives only),
+        # so the same suspects → confirm → anti-join pipeline applies
+        suspect_keys = cuckoo_suspect_keys(candidates, bloom_df, key, num_partitions)
+        confirmed_seen = suspect_keys.join(seen_keys, key, "left_semi")
+        return candidates.join(confirmed_seen, key, "left_anti")
+
     if probe == "broadcast":
         maybe = bloom_maybe_seen_udf(spark, bloom_df, num_partitions)
         if maybe is None:
@@ -308,3 +316,166 @@ def filter_unseen(
     suspect_keys = bloom_suspect_keys(candidates, bloom_df, key, num_partitions)
     confirmed_seen = suspect_keys.join(seen_keys, key, "left_semi")
     return candidates.join(confirmed_seen, key, "left_anti")
+
+
+# --- cuckoo-filter sketch (deletion-capable; the TTL-workload path) ----------
+# Same partitioned layout and co-partitioned probe as the Bloom, but the
+# per-partition sketch is a cuckoo table (crawl/cuckoo.py) with MULTISET
+# insert/delete: each seen append inserts one fingerprint copy, each TTL
+# expiry deletes one, so a URL re-seen before its old entry expires keeps a
+# copy per active row and the sketch tracks the ACTIVE seen set instead of
+# accumulating false-positive history the way the Bloom must.
+CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("num_partitions", T.IntegerType(), False),
+        T.StructField("num_buckets", T.LongType(), False),
+        T.StructField("table", T.BinaryType(), False),
+        T.StructField("num_items", T.LongType(), False),
+    ]
+)
+
+DEFAULT_CUCKOO_BUCKETS = 1 << 14  # ×4 slots ×2 B = 128 KiB/partition
+
+
+def _cuckoo_row(pid: int, num_partitions: int, cf) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "partition_id": [pid],
+            "num_partitions": [num_partitions],
+            "num_buckets": [cf.num_buckets],
+            "table": [cf.to_bytes()],
+            "num_items": [cf.num_items],
+        }
+    )
+
+
+def build_cuckoo_partitions(
+    df: DataFrame,
+    key: str = "url_hash",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_buckets: int = DEFAULT_CUCKOO_BUCKETS,
+) -> DataFrame:
+    """One cuckoo sketch per pmod(key, P) partition via applyInPandas."""
+    from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["__pid"].iloc[0])
+        cf = CuckooFilter(num_buckets=num_buckets)
+        for k in pdf[key].to_numpy(dtype=np.int64):
+            if not cf.insert(int(k)):
+                raise ValueError(
+                    f"cuckoo partition {pid} full at {cf.num_items} items — "
+                    "increase num_buckets or num_partitions"
+                )
+        return _cuckoo_row(pid, num_partitions, cf)
+
+    keyed = df.select(key).withColumn(
+        "__pid", F.pmod(F.col(key), F.lit(num_partitions)).cast("int")
+    )
+    return keyed.groupBy("__pid").applyInPandas(build, schema=CUCKOO_SCHEMA)
+
+
+def update_cuckoo_tables(
+    sketches: DataFrame | None,
+    additions: DataFrame | None,
+    deletions: DataFrame | None,
+    key: str = "url_hash",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_buckets: int = DEFAULT_CUCKOO_BUCKETS,
+) -> DataFrame:
+    """Apply (insert additions, delete deletions) per partition — cogrouped
+    so no sketch visits the driver. Deleting a key with no stored copy is a
+    no-op (expiry of a row whose sketch predates it, or a rebuilt sketch)."""
+    from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+
+    def ops_frame(df: DataFrame | None, op: int) -> DataFrame | None:
+        if df is None:
+            return None
+        return df.select(
+            F.col(key),
+            F.lit(op).alias("__op"),
+            F.pmod(F.col(key), F.lit(num_partitions)).cast("int").alias("__pid"),
+        )
+
+    adds = ops_frame(additions, 1)
+    dels = ops_frame(deletions, -1)
+    if adds is None and dels is None:
+        raise ValueError("update_cuckoo_tables: nothing to apply")
+    ops = adds if dels is None else (dels if adds is None else adds.unionByName(dels))
+
+    def update(ops_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not sk_pdf.empty:
+            stored_p = int(sk_pdf["num_partitions"].iloc[0])
+            if stored_p != num_partitions:
+                raise ValueError(
+                    f"cuckoo update modulus {num_partitions} != stored "
+                    f"{stored_p}: rebuild the sketch from the seen table"
+                )
+            nb = int(sk_pdf["num_buckets"].iloc[0])
+            cf = CuckooFilter.from_bytes(sk_pdf["table"].iloc[0], nb)
+            pid = int(sk_pdf["partition_id"].iloc[0])
+        else:
+            cf = CuckooFilter(num_buckets=num_buckets)
+            pid = int(ops_pdf["__pid"].iloc[0])
+        # all inserts before all deletes: a key added AND expiring in the
+        # same update (ttl_iters=1) must net to zero copies regardless of
+        # the shuffle's row order
+        kk = ops_pdf[key].to_numpy(dtype=np.int64)
+        oo = ops_pdf["__op"].to_numpy(dtype=np.int64)
+        for k in kk[oo > 0]:
+            if not cf.insert(int(k)):
+                raise ValueError(
+                    f"cuckoo partition {pid} full at {cf.num_items} items"
+                )
+        for k in kk[oo < 0]:
+            cf.delete(int(k))
+        return _cuckoo_row(pid, num_partitions, cf)
+
+    if sketches is None:
+        return ops.groupBy("__pid").applyInPandas(
+            lambda pdf: update(pdf, pd.DataFrame()), schema=CUCKOO_SCHEMA
+        )
+    return (
+        ops.groupBy("__pid")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(update, schema=CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_suspect_keys(
+    candidates: DataFrame,
+    cuckoo_df: DataFrame,
+    key: str = "url_hash",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> DataFrame:
+    """Map-side co-partitioned cuckoo probe → the maybe-seen key set (same
+    contract as bloom_suspect_keys: false positives possible, never false
+    negatives for keys whose inserts were applied)."""
+    from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+
+    out_schema = T.StructType([T.StructField(key, T.LongType(), False)])
+
+    def probe(cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or sk_pdf.empty:
+            return pd.DataFrame({key: pd.Series([], dtype="int64")})
+        stored_p = int(sk_pdf["num_partitions"].iloc[0])
+        if stored_p != num_partitions:
+            raise ValueError(
+                f"cuckoo probe modulus {num_partitions} != stored sketch "
+                f"modulus {stored_p}: rebuild it from the seen table"
+            )
+        nb = int(sk_pdf["num_buckets"].iloc[0])
+        cf = CuckooFilter.from_bytes(sk_pdf["table"].iloc[0], nb)
+        keys = cand_pdf[key].to_numpy(dtype=np.int64)
+        return pd.DataFrame({key: keys[cf.contains(keys)]})
+
+    keyed = candidates.select(key).withColumn(
+        "__pid", F.pmod(F.col(key), F.lit(num_partitions)).cast("int")
+    )
+    sketches = cuckoo_df.select("partition_id", "num_partitions", "num_buckets", "table")
+    return (
+        keyed.groupBy("__pid")
+        .cogroup(sketches.groupBy("partition_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
