@@ -243,6 +243,45 @@ def gen_robots_pdf(seed: int = SEED, num_hosts: int = 50) -> pd.DataFrame:
     return pdf
 
 
+# bumped whenever generated content changes so stale /tmp caches rebuild
+FIXTURE_VERSION = "v2-ris"
+
+
+def gen_serp_ris_pdf(
+    n_keywords: int = 5,
+    per_kw: int = 60,
+    seed: int = SEED,
+    num_hosts: int = 50,
+) -> pd.DataFrame:
+    """Dense reverse-image-search tier (FIXTURES.md §2b): ``per_kw`` RIS
+    rows per keyword so the image pipeline's 4-page cap (page_size x
+    max_pages = 40) actually BITES — the base serp fixture has ~12 sparse
+    RIS rows, far under the boundary. Own rng stream + url index offset:
+    adding this tier never perturbs the base serp draws."""
+    hosts = host_pool(num_hosts)
+    rng = np.random.default_rng(seed + 7)
+    rows = []
+    for k in range(n_keywords):
+        for pos in range(1, per_kw + 1):
+            i = 10_000 + k * per_kw + pos
+            rows.append(
+                {
+                    "keyword": f"ris-kw{k}",
+                    "offer_root": "REVERSE_IMAGE_SEARCH",
+                    "position": np.int32(pos),
+                    "url": _make_url(rng, i, hosts),
+                    "image_url": f"https://t.example.com/thumb/{i}.jpg",
+                    "keyword_enriched": None,
+                    "keyword_volume": -1.0,
+                    "keyword_language": None,
+                    "keyword_location": None,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["position"] = pdf["position"].astype("int32")
+    return pdf
+
+
 def fixture_dir(tier: str, root: str | None = None) -> str:
     root = root or os.environ.get("SPARK_GRAFT_FIXTURES", "/tmp/ncds_fixtures")
     return os.path.join(root, tier)
@@ -262,17 +301,29 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
     out = fixture_dir(tier, root)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == FIXTURE_VERSION:
+                return out
+        # stale cache from an older generator — rebuild (drop in place;
+        # the atomic rename below republishes a complete dir)
+        shutil_rm = __import__("shutil").rmtree
+        shutil_rm(out, ignore_errors=True)
     staging = f"{out}.staging-{os.getpid()}"
     os.makedirs(staging, exist_ok=True)
     sizes = TIERS[tier]
     images = gen_images_pdf(sizes["images"])
     serp = gen_serp_results_pdf(sizes["serp"], num_hosts=sizes["hosts"])
-    fetch = gen_fetch_responses_pdf(serp, images)
+    serp_ris = gen_serp_ris_pdf(num_hosts=sizes["hosts"])
+    # responses cover serp AND the dense RIS tier; RIS urls are APPENDED so
+    # the rng draws for the original serp urls stay bit-identical
+    fetch = gen_fetch_responses_pdf(
+        pd.concat([serp, serp_ris], ignore_index=True), images
+    )
     robots = gen_robots_pdf(num_hosts=sizes["hosts"])
     for name, pdf in [
         ("images", images),
         ("serp_results", serp),
+        ("serp_ris", serp_ris),
         ("fetch_responses", fetch),
         ("robots", robots),
     ]:
@@ -285,7 +336,7 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
             row_group_size=2048,
         )
     with open(os.path.join(staging, "_COMPLETE"), "w") as f:
-        f.write("ok\n")
+        f.write(FIXTURE_VERSION + "\n")
     try:
         os.rename(staging, out)  # atomic publish (same filesystem)
     except OSError:

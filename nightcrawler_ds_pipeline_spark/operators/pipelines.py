@@ -32,6 +32,7 @@ _FX = write_fixture_parquet("t1")  # == fixture_dir("t1"); cached, pandas-only
 assert _FX == fixture_dir("t1")
 
 _SERP = f"read_parquet('{_FX}/serp_results.parquet')"
+_SERP_RIS = f"read_parquet('{_FX}/serp_ris.parquet')"
 _RESP = f"read_parquet('{_FX}/fetch_responses.parquet')"
 
 _SHARES_ROWS = ", ".join(f"({i + 1}, {s})" for i, s in enumerate(RANK_CLICK_SHARES))
@@ -97,13 +98,27 @@ def pipeline_fullrun_text(spark, sf_dir):
     return run_text_pipeline(serp, responses, PipelineConfig()).orderBy("uid")
 
 
+# reverse-image flow over the base serp + the dense RIS tier (serp_ris):
+# per-keyword pagination with the reference's 4-page hard cap (page_size
+# 10 x max_pages 4 = rank <= 40 — the dense tier has 60 rows/keyword so
+# the boundary BITES; test_pipeline_parity pins it), then url dedup.
 @register(
     "pipeline_fullrun_image",
     oracle=f"""
-    WITH seeds AS (
-      SELECT url, offer_root FROM {_SERP}
+    WITH ris AS (
+      SELECT keyword, position, url, offer_root FROM {_SERP}
       WHERE offer_root = 'REVERSE_IMAGE_SEARCH' AND image_url IS NOT NULL
-    )
+      UNION ALL
+      SELECT keyword, position, url, offer_root FROM {_SERP_RIS}
+      WHERE offer_root = 'REVERSE_IMAGE_SEARCH' AND image_url IS NOT NULL
+    ),
+    ranked AS (
+      SELECT url, offer_root,
+             ROW_NUMBER() OVER (PARTITION BY keyword
+                                ORDER BY position, url) AS rk
+      FROM ris
+    ),
+    seeds AS (SELECT DISTINCT url, offer_root FROM ranked WHERE rk <= 40)
     {_TAIL_SQL}
     ORDER BY uid
     """,
@@ -115,7 +130,10 @@ def pipeline_fullrun_image(spark, sf_dir):
     )
 
     serp, responses = _fixtures(spark)
-    return run_image_pipeline(serp, responses, PipelineConfig(country="XX")).orderBy("uid")
+    ris_extra = serp.sparkSession.read.parquet(f"{_FX}/serp_ris.parquet")
+    return run_image_pipeline(
+        serp.unionByName(ris_extra), responses, PipelineConfig(country="XX")
+    ).orderBy("uid")
 
 
 @register(

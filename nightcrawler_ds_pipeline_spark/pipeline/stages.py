@@ -44,6 +44,10 @@ class PipelineConfig:
     # (deterministic prompt-rule classifier, operators/llm.py)
     delivery_policy_method: str = "passthrough"
     fetch_backend: str = "zyte"  # S8: "zyte" | "diffbot" (crawl/backends.py)
+    # reverse-image flow pagination (L5/S4: the reference pages through
+    # result pages and hard-stops at 4 — s03 + serp_api.py page loop)
+    ris_page_size: int = 10
+    ris_max_pages: int = 4
     strict_reference_parity: bool = True
     stage_counts: dict = field(default_factory=dict)  # numberOfResultsAfterStage
 
@@ -246,9 +250,24 @@ def run_image_pipeline(
     """E1 (image input): reverse-image-search seeds — rows must carry a
     thumbnail (P7, s03:161) — then the same chain (full_pipeline.py:131-150)."""
     cfg = cfg or PipelineConfig()
-    seeds = serp.filter(
+    from pyspark.sql import Window
+
+    ris = serp.filter(
         (F.col("offer_root") == "REVERSE_IMAGE_SEARCH")
         & F.col("image_url").isNotNull()
+    )
+    # pagination with the 4-page hard cap: results arrive in pages of
+    # ris_page_size per keyword and the reference stops after ris_max_pages
+    # — relationally, keep per-keyword rank <= page_size*max_pages. The
+    # early-exit (an empty page ends paging) is implied for dense position
+    # sequences; the bounded-scan form is operators/pagination.py.
+    w = Window.partitionBy("keyword").orderBy("position", "url")
+    cap = cfg.ris_page_size * cfg.ris_max_pages
+    seeds = (
+        ris.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .select("url", "offer_root")
+        .distinct()  # image-set dedup: the same url found via two thumbs
     )
     _count(cfg, "reverse_image_search", seeds)
     return _tail_chain(seeds, responses, cfg)

@@ -72,3 +72,43 @@ def test_images_array_distinct(spark, t1_dir):
     df = s04_zyte_fetch(s01_serp_scan(serp, cfg), responses, cfg)
     dup = df.filter(F.size("images") != F.size(F.array_distinct("images"))).count()
     assert dup == 0
+
+
+def test_image_pipeline_page_cap_boundary(spark):
+    """The reverse-image 4-page cap (page_size 10 × max_pages 4 = 40) must
+    BITE on the dense RIS tier (60 rows/keyword): exactly 40 seeds per
+    keyword survive, position 40 in, position 41 out."""
+    import pyspark.sql.functions as F
+
+    from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
+    from nightcrawler_ds_pipeline_spark.pipeline.stages import (
+        PipelineConfig,
+        run_image_pipeline,
+    )
+
+    fx = write_fixture_parquet("t1")
+    ris = spark.read.parquet(f"{fx}/serp_ris.parquet")
+    per_kw = ris.groupBy("keyword").count().collect()
+    assert per_kw and all(r["count"] == 60 for r in per_kw)  # cap must bite
+
+    responses = spark.read.parquet(f"{fx}/fetch_responses.parquet")
+    cfg = PipelineConfig(country="XX")
+    out = run_image_pipeline(ris, responses, cfg)
+    n_out = out.count()
+    # seed stage: exactly page_size*max_pages per keyword
+    assert cfg.stage_counts["reverse_image_search"] == 40 * len(per_kw)
+    # tail chain only drops error rows (~5%) — output stays near the cap
+    assert 0 < n_out <= 40 * len(per_kw)
+
+    # boundary: the kept seed set is exactly positions 1..40 per keyword
+    kept_urls = {
+        r["url"]
+        for r in ris.filter(F.col("position") <= 40).select("url").collect()
+    }
+    dropped_urls = {
+        r["url"]
+        for r in ris.filter(F.col("position") > 40).select("url").collect()
+    }
+    out_urls = {r["url"] for r in out.select("url").collect()}
+    assert out_urls <= kept_urls
+    assert not (out_urls & dropped_urls)
