@@ -97,6 +97,12 @@ def run_worker(cpus: str) -> dict:
     extra = {}
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         extra["spark.local.dir"] = f"/dev/shm/ncds_spark_{cpus}"
+    # experiment knob (VERDICT r2 #3): Arrow batch size for the
+    # mapInPandas fetch+decode stage — measured at both levels to test
+    # whether batch granularity shifts the 8→32 curve (see BASELINE.md)
+    ab = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    if ab:
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = ab
     # the sandbox VM has time-varying host contention: take the median of
     # several measured runs in one warm JVM, and probe raw capacity before
     # AND after (max = closest to true capacity at this level)
