@@ -390,3 +390,79 @@ def dedup_jaccard_suite(spark, sf_dir):
         F.lit("shingle").alias("part"), "id_a", "id_b", "jaccard"
     )
     return tok.unionByName(sh).orderBy("part", "id_a", "id_b")
+
+
+# --- cross-document repeated n-grams (substring-level duplication) -----------
+# The span-duplication signal from Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" (ACL'22): document-level near-dup (MinHash)
+# misses verbatim SPANS repeated across otherwise-distinct documents
+# (boilerplate, licenses, templates). Relational form: word 8-gram shingles
+# per document (distinct within doc), a shingle is "duplicated" when ≥2
+# distinct documents contain it; per document report the duplicated-shingle
+# fraction. One groupBy(shingle) shuffle with map-side combine + one
+# broadcast-able shared-shingle semi-join — no all-pairs anywhere, so the
+# same plan runs at 10^10 documents (the shingle key space shards evenly;
+# skewed boilerplate shingles are exactly what AQE skew-join handles).
+_NGRAM_N = 8
+
+
+@register(
+    "text_dup_ngram_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i:i+{_NGRAM_N - 1}], ' ')
+                     for i in generate_series(1, len(w) - {_NGRAM_N - 1})]) AS s
+      FROM words WHERE len(w) >= {_NGRAM_N}
+    ),
+    shared AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN shared.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM sh LEFT JOIN shared ON sh.s = shared.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup_shingles,
+           ROUND(n_dup / n_shingles, 4) AS dup_fraction
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_dup_ngram_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= _NGRAM_N)
+    sh = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, _NGRAM_N)),
+            )
+        ).alias("s"),
+    ).distinct()
+    shared = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    flagged = sh.join(shared.withColumn("__dup", F.lit(1)), "s", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long"),
+        F.col("n_dup").cast("long").alias("n_dup_shingles"),
+        F.round(F.col("n_dup") / F.col("n_shingles"), 4).alias("dup_fraction"),
+    ).orderBy("doc_id")
