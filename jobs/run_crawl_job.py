@@ -36,6 +36,17 @@ def main() -> None:
     ap.add_argument("--num-salts", type=int, default=8)
     ap.add_argument("--run-ts", default="1970-01-01_00-00-00",
                     help="injected run timestamp (never wall-clock)")
+    ap.add_argument("--sketch", choices=("bloom", "cuckoo"), default="bloom",
+                    help="seen-set pre-pass sketch; cuckoo prunes TTL "
+                         "expiries (deletion-capable)")
+    ap.add_argument("--bloom-min-seen", type=int, default=100_000,
+                    help="skip sketch maintenance below this seen-set size "
+                         "(exact anti-join decides either way)")
+    ap.add_argument("--ttl-iters", type=int, default=None,
+                    help="seen entries older than this many iterations stop "
+                         "suppressing re-fetch (reference cache_duration)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="compact append-mode state tables every k iterations")
     args = ap.parse_args()
 
     from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
@@ -60,6 +71,10 @@ def main() -> None:
         max_per_host=args.max_per_host,
         num_salts=args.num_salts,
         run_ts=args.run_ts,
+        sketch=args.sketch,
+        bloom_min_seen=args.bloom_min_seen,
+        ttl_iters=args.ttl_iters,
+        compact_every=args.compact_every,
     )
     summary = run_crawl(spark, catalog, fixtures, cfg)
     print(json.dumps(summary))
