@@ -87,3 +87,61 @@ def test_cuckoo_no_false_negatives(keys):
     cf = CuckooFilter(num_buckets=1 << 10)
     inserted = [k for k in keys if cf.insert(int(k))]
     assert cf.contains(np.array(inserted, dtype=np.int64)).all()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=40), min_size=1,
+        max_size=8,
+    ),
+    st.text(alphabet="abcdefgh ", max_size=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_covers_input(corpus, text):
+    """BPE invariants for arbitrary corpora/inputs: the encoded symbols of
+    every pre-token concatenate back to exactly that token (+EOW), and the
+    token count never exceeds characters + one EOW per word."""
+    from nightcrawler_ds_pipeline_spark.functions.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_token_count,
+        pretokenize,
+        train_bpe,
+    )
+
+    merges = train_bpe(corpus, num_merges=32)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in pretokenize(text):
+        toks = bpe_encode(w, ranks)
+        assert "".join(toks) == w[:-1] + w[-1] + EOW
+    n = bpe_token_count(text, ranks)
+    words = pretokenize(text)
+    assert 0 <= n <= sum(len(w) + 1 for w in words)
+    # determinism
+    assert n == bpe_token_count(text, ranks)
+
+
+@given(
+    st.sets(st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+            max_size=300),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_no_false_negatives_after_deletes(keys, data):
+    """Pure-python cuckoo property: after inserting S then deleting D ⊆ S,
+    every key in S \\ D still reports membership (the over-approximation
+    invariant the crawl loop's correctness rests on)."""
+    import numpy as np
+
+    from nightcrawler_ds_pipeline_spark.crawl.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(num_buckets=1 << 10)
+    for k in keys:
+        assert cf.insert(k)
+    dels = data.draw(st.sets(st.sampled_from(sorted(keys)),
+                             max_size=len(keys)))
+    for k in dels:
+        assert cf.delete(k)
+    remaining = np.array(sorted(set(keys) - dels), dtype=np.int64)
+    if len(remaining):
+        assert cf.contains(remaining).all()
