@@ -182,3 +182,38 @@ def test_ttl_recrawl_through_cuckoo_and_sketch_pruned(spark, tmp_path):
     sk = cat.read(spark, "cuckoo")
     n_items = sum(int(r["num_items"]) for r in sk.collect())
     assert n_items == 0
+
+
+def test_cuckoo_ttl_compaction_resume_combined(spark, t1_dir, tmp_path):
+    """All round-3 loop features together — cuckoo sketch above a crossed
+    size gate, TTL re-crawl, periodic compaction, and a crash-resume —
+    must equal one uninterrupted plain-Bloom run with the same TTL (the
+    sketch and maintenance layers never change results)."""
+    common = dict(iterations=4, max_per_host=10, window_ms=10_000,
+                  ttl_iters=2)
+    golden_cat = SnapshotCatalog(str(tmp_path / "golden"))
+    run_crawl(spark, golden_cat, t1_dir,
+              CrawlConfig(**common, sketch="bloom", bloom_min_seen=0))
+
+    cat = SnapshotCatalog(str(tmp_path / "combo"))
+    cfg = CrawlConfig(**common, sketch="cuckoo", bloom_min_seen=1,
+                      compact_every=2)
+    # run 2 iterations, simulate a crash (orphan append, no lineage), resume
+    run_crawl(spark, cat, t1_dir,
+              CrawlConfig(iterations=2, max_per_host=10, window_ms=10_000,
+                          ttl_iters=2, sketch="cuckoo", bloom_min_seen=1,
+                          compact_every=2))
+    orphan = cat.read(spark, "results").limit(3).withColumn(
+        "iter", F.lit(2).cast("int")
+    )
+    cat.write(orphan, "results", mode="append", meta={"iter": 2})
+    run_crawl(spark, cat, t1_dir, cfg)
+
+    def state(c):
+        res = c.read(spark, "results")
+        return sorted(
+            (r["iter"], r["seq"], r["url_hash"])
+            for r in res.select("iter", "seq", "url_hash").collect()
+        )
+
+    assert state(cat) == state(golden_cat)

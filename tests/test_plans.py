@@ -124,3 +124,19 @@ def test_decode_stage_has_no_bytes_output(spark, t1_dir):
     out = decode_images(imgs.select("image_id", "bytes"))
     assert "bytes" not in out.columns
     assert {"w_decoded", "h_decoded", "phash_decoded", "decode_ok"} <= set(out.columns)
+
+
+def test_dup_ngram_plan_has_no_cartesian(spark):
+    """Span-level dedup must stay equi-join shaped: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere (the all-pairs trap this operator
+    exists to avoid), and the shared-shingle aggregate is partial+final
+    (map-side combine)."""
+    from nightcrawler_ds_pipeline_spark.operators.dedup import (
+        text_dup_ngram_stats,
+    )
+
+    df = text_dup_ngram_stats(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
