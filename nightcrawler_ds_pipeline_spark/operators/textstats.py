@@ -256,3 +256,121 @@ def text_lang_id_ngram(spark, sf_dir):
     return docs.select(
         "doc_id", "lang", lang(F.col("text")).alias("lang_pred_ngram")
     ).orderBy("doc_id")
+
+
+# --- Gopher-style quality rules (public filter set: Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", App. A1.1) — the canonical
+# document-quality gate of LLM corpus curation. All JVM-side higher-order
+# functions over one pass of the documents table (no shuffle, no UDF);
+# the DuckDB twin computes the identical arithmetic.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MIN_ALPHA = 0.80
+_G_MAX_BULLET = 0.90
+_G_MAX_ELLIPSIS = 0.30
+_G_MIN_STOP_HITS = 2
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE {_WORDS_DUCK} END AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+             END AS mean_word_len,
+             CASE WHEN len(w) > 0
+                  THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                       * 1.0 / len(w)
+             END AS frac_alpha_words,
+             len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•])')))
+               * 1.0 / len(lines) AS frac_bullet_lines,
+             len(list_filter(lines, x -> trim(x) LIKE '%...'))
+               * 1.0 / len(lines) AS frac_ellipsis_lines,
+             ({" + ".join(f"(CASE WHEN list_contains(w, '{sw}') THEN 1 ELSE 0 END)" for sw in _GOPHER_STOPWORDS)})
+               AS stop_hits
+      FROM base
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 4) AS mean_word_len,
+           ROUND(frac_alpha_words, 4) AS frac_alpha_words,
+           ROUND(frac_bullet_lines, 4) AS frac_bullet_lines,
+           ROUND(frac_ellipsis_lines, 4) AS frac_ellipsis_lines,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+            AND mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+            AND frac_alpha_words >= {_G_MIN_ALPHA}
+            AND frac_bullet_lines <= {_G_MAX_BULLET}
+            AND frac_ellipsis_lines <= {_G_MAX_ELLIPSIS}
+            AND stop_hits >= {_G_MIN_STOP_HITS}) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.when(F.trim("text") == "", F.array().cast("array<string>")).otherwise(
+        _words_col()
+    )
+    lines = F.split("text", "\n")
+    base = docs.select("doc_id", w.alias("w"), lines.alias("lines"))
+    nw = F.size("w")
+    nl = F.size("lines")
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(
+            F.transform("w", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        )
+        * 1.0
+        / nw,
+    )
+    frac_alpha = F.when(
+        nw > 0, F.size(F.filter("w", lambda x: x.rlike("[a-z]"))) * 1.0 / nw
+    )
+    frac_bullet = (
+        F.size(F.filter("lines", lambda x: F.trim(x).rlike(r"^([-*•])")))
+        * 1.0
+        / nl
+    )
+    frac_ellipsis = (
+        F.size(F.filter("lines", lambda x: F.trim(x).endswith("...")))
+        * 1.0
+        / nl
+    )
+    stop_hits = F.lit(0)
+    for sw in _GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(F.array_contains("w", sw), 1).otherwise(0)
+    m = base.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(frac_alpha, 4).alias("frac_alpha_words"),
+        F.round(frac_bullet, 4).alias("frac_bullet_lines"),
+        F.round(frac_ellipsis, 4).alias("frac_ellipsis_lines"),
+        stop_hits.cast("long").alias("stop_hits"),
+        mean_wl.alias("__mwl"),
+        frac_alpha.alias("__fa"),
+        frac_bullet.alias("__fb"),
+        frac_ellipsis.alias("__fe"),
+    )
+    keep = (
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & F.col("__mwl").between(_G_MIN_MWL, _G_MAX_MWL)
+        & (F.col("__fa") >= _G_MIN_ALPHA)
+        & (F.col("__fb") <= _G_MAX_BULLET)
+        & (F.col("__fe") <= _G_MAX_ELLIPSIS)
+        & (F.col("stop_hits") >= _G_MIN_STOP_HITS)
+    )
+    return (
+        m.withColumn("keep", keep)
+        .drop("__mwl", "__fa", "__fb", "__fe")
+        .orderBy("doc_id")
+    )

@@ -98,3 +98,49 @@ def test_langid_udf_matches_python_twin(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     for r in docs.select("doc_id", "text").collect():
         assert out[r["doc_id"]] == detect_language(r["text"] or ""), r["doc_id"]
+
+
+def test_gopher_rules_semantics(spark):
+    """Pin the published Gopher rule set on handcrafted documents: a clean
+    English paragraph passes; too-short, bullet-spam, ellipsis-spam,
+    symbol-heavy and stopword-free docs each fail their specific rule.
+    (On the synthetic driver corpus keep=false everywhere — no document
+    carries two distinct Gopher stopwords — which the oracle confirms;
+    this test is where the keep logic actually discriminates.)"""
+    import pyspark.sql.functions as F
+
+    from nightcrawler_ds_pipeline_spark.operators.textstats import (
+        text_gopher_rules,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "forest with great speed because it wants to be home before "
+            "dark and that is why it hurries along the winding path past "
+            "the old mill and the quiet river where children have played "
+            "for many years during the long warm summer evenings there")
+    docs = [
+        (0, good, "en", "t", len(good)),
+        (1, "too short to pass and with the right words", "en", "t", 42),
+        (2, "\n".join("- " + good[:40] for _ in range(20)), "en", "t", 800),
+        (3, "\n".join(good[:40] + "..." for _ in range(20)), "en", "t", 800),
+        (4, " ".join("12345 !!!" for _ in range(40)) + " the of", "en", "t", 400),
+        (5, " ".join("alpha beta gamma delta epsilon" for _ in range(20)), "en", "t", 600),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r.asDict() for r in text_gopher_rules(spark, d).collect()}
+
+    assert out[0]["keep"] is True                     # clean paragraph
+    assert out[1]["keep"] is False                    # < 50 words
+    assert out[2]["keep"] is False                    # all lines bulleted
+    assert out[2]["frac_bullet_lines"] == 1.0
+    assert out[3]["keep"] is False                    # all lines ellipsis
+    assert out[3]["frac_ellipsis_lines"] == 1.0
+    assert out[4]["keep"] is False                    # symbol/digit heavy
+    assert out[4]["frac_alpha_words"] < 0.8
+    assert out[5]["keep"] is False                    # no Gopher stopwords
+    assert out[5]["stop_hits"] == 0
