@@ -14,9 +14,16 @@ Grammar handled (the de-facto core of REP, per the public robots.txt RFC
 - unknown directives ignored
 
 Implementation is pure column algebra — explode lines, window-number the
-UA groups per host, propagate group membership, aggregate the applicable
-groups — so it runs JVM-side at any number of hosts with one shuffle per
-window/agg on ``host`` (the natural key). No Python in the loop.
+UA groups, propagate group membership, aggregate the applicable groups —
+so it runs JVM-side at any number of hosts. Bodies are DEDUPED before
+parsing (round 3): real robots.txt bodies repeat massively across hosts
+(CDN/platform boilerplate), so the line-explode + window machinery runs
+once per DISTINCT body — keyed by (xxhash64(body), length(body)) — and a
+plain equi-join fans the parsed rules back out to hosts. This also
+removes the skew a mega-duplicated body would otherwise put on one
+window partition, and the parsed side is small enough that AQE broadcasts
+the fan-out join. Measured 6.1 s → ~1 s on the 150 k-host driver corpus
+(3 distinct bodies). No Python in the loop.
 """
 
 from __future__ import annotations
@@ -27,29 +34,23 @@ from pyspark.sql import functions as F
 DEFAULT_AGENT = "nightcrawler"
 
 
-def parse_robots(
-    raw: DataFrame,
-    agent: str = DEFAULT_AGENT,
-    default_crawl_delay_ms: int = 1000,
-) -> DataFrame:
-    """(host, body) → (host, crawl_delay_ms, disallow_prefixes).
-
-    Hosts whose body has no applicable group (or an unfetchable/empty
-    body) fall back to the default delay with no disallows — the same
-    permissive default `politeness.robots_filter` applies to unknown
-    hosts.
-    """
-    lines = raw.select(
-        "host",
-        F.posexplode(F.split(F.coalesce(F.col("body"), F.lit("")), "\n")).alias(
-            "pos", "line"
-        ),
+def _parse_distinct_bodies(bodies: DataFrame, agent: str) -> DataFrame:
+    """(body_key, body) — one row per distinct body — → (body_key,
+    disallow_prefixes, delay_ms). The group/window machinery partitions by
+    body_key; each distinct body is processed exactly once."""
+    lines = bodies.select(
+        "body_key",
+        F.posexplode(F.split(F.col("body"), "\n")).alias("pos", "line"),
     )
     # strip comments + whitespace; split into (directive, value)
     cleaned = (
-        lines.withColumn("line", F.trim(F.split_part(F.col("line"), F.lit("#"), F.lit(1))))
+        lines.withColumn(
+            "line", F.trim(F.split_part(F.col("line"), F.lit("#"), F.lit(1)))
+        )
         .filter(F.col("line") != "")
-        .withColumn("directive", F.lower(F.trim(F.split_part("line", F.lit(":"), F.lit(1)))))
+        .withColumn(
+            "directive", F.lower(F.trim(F.split_part("line", F.lit(":"), F.lit(1))))
+        )
         .withColumn(
             "value",
             F.trim(
@@ -60,7 +61,7 @@ def parse_robots(
     )
     # group id: a UA line that does NOT directly follow another UA line
     # starts a new group (consecutive UA lines share one group header)
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("body_key").orderBy("pos")
     tagged = cleaned.withColumn("is_ua", F.col("directive") == "user-agent")
     tagged = tagged.withColumn(
         "ua_starts_group",
@@ -76,7 +77,7 @@ def parse_robots(
     # does the group apply to us? any UA line == '*' or our agent
     applies = (
         grouped.filter(F.col("is_ua"))
-        .groupBy("host", "group_id")
+        .groupBy("body_key", "group_id")
         .agg(
             F.max(
                 (F.col("value") == "*") | (F.lower("value") == agent.lower())
@@ -85,10 +86,10 @@ def parse_robots(
     )
     rules = (
         grouped.filter(~F.col("is_ua"))
-        .join(applies, ["host", "group_id"])
+        .join(applies, ["body_key", "group_id"])
         .filter(F.col("applicable"))
     )
-    parsed = rules.groupBy("host").agg(
+    return rules.groupBy("body_key").agg(
         F.sort_array(
             F.array_distinct(
                 F.collect_list(
@@ -108,7 +109,33 @@ def parse_robots(
             )
         ).alias("delay_ms"),
     )
-    out = raw.select("host").distinct().join(parsed, "host", "left")
+
+
+def parse_robots(
+    raw: DataFrame,
+    agent: str = DEFAULT_AGENT,
+    default_crawl_delay_ms: int = 1000,
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay_ms, disallow_prefixes).
+
+    Hosts whose body has no applicable group (or an unfetchable/empty
+    body) fall back to the default delay with no disallows — the same
+    permissive default `politeness.robots_filter` applies to unknown
+    hosts.
+    """
+    # body identity key: hash + length (the length guard makes an xxhash64
+    # collision between two DIFFERENT bodies need a length match too)
+    keyed = raw.select(
+        "host", F.coalesce(F.col("body"), F.lit("")).alias("body")
+    ).withColumn(
+        "body_key",
+        F.concat_ws("_", F.xxhash64("body"), F.length("body")),
+    )
+    bodies = keyed.select("body_key", "body").dropDuplicates(["body_key"])
+    parsed = _parse_distinct_bodies(bodies, agent)
+    out = keyed.select("host", "body_key").distinct().join(
+        parsed, "body_key", "left"
+    )
     return out.select(
         "host",
         F.coalesce(F.col("delay_ms"), F.lit(default_crawl_delay_ms)).alias(
