@@ -94,7 +94,13 @@ def window_host_dequeue(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.urls import canonicalize_udf
     from nightcrawler_ds_pipeline_spark.operators.sqlfrags import synth_urls
 
-    urls = synth_urls(spark, sf_dir)
+    # the source parquet opens as a handful of input splits; without an
+    # explicit spread the per-row canonicalize UDF runs on 1-4 tasks (same
+    # hazard as scaling._fetched_stage — AQE coalesces by bytes, and these
+    # rows are narrow). Repartition BEFORE the UDF so it uses every core.
+    urls = synth_urls(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     canon = (
         urls.withColumn("canonical_url", canonicalize_udf(F.col("url")))
         .withColumn(
