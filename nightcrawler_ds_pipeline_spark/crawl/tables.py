@@ -104,10 +104,18 @@ class SnapshotCatalog:
         spark: SparkSession,
         table: str,
         max_iter: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """Union of live snapshots: everything since the last overwrite,
         optionally restricted to snapshots with ``meta['iter'] <= max_iter``
-        (exact-resume rollback of un-finalized iterations)."""
+        (exact-resume rollback of un-finalized iterations).
+
+        ``merge_schema=True`` enables additive schema evolution (the
+        Iceberg add-column analogue): snapshots written with a superset
+        schema union cleanly, old rows read NULL for the new columns.
+        Off by default — the footer-merge pass costs one extra file
+        round per read, and the crawl loop's own tables have fixed
+        schemas within a run."""
         snaps = self._load_manifest(table)
         if max_iter is not None:
             snaps = [s for s in snaps if s["meta"].get("iter", -1) <= max_iter]
@@ -119,7 +127,10 @@ class SnapshotCatalog:
                 live = [s]
             else:
                 live.append(s)
-        df = spark.read.parquet(*[s["dir"] for s in live])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[s["dir"] for s in live])
         return df
 
     def read_incremental(
@@ -128,6 +139,7 @@ class SnapshotCatalog:
         table: str,
         after_iter: int,
         until_iter: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """Incremental consumption (the Iceberg incremental-read analogue):
         only the APPEND snapshots with ``after_iter < meta.iter``
@@ -173,7 +185,10 @@ class SnapshotCatalog:
             )
         if not window:
             return None
-        return spark.read.parquet(*[s["dir"] for s in window])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[s["dir"] for s in window])
 
     def rollback_above(self, max_iter: int) -> None:
         """Drop snapshots from un-finalized iterations (meta.iter > max_iter)
@@ -202,6 +217,7 @@ class SnapshotCatalog:
         table: str,
         num_files: int | None = None,
         vacuum: bool = False,
+        merge_schema: bool = False,
     ) -> int | None:
         """Rewrite the table's LIVE state as one overwrite snapshot (the
         Iceberg `rewrite_data_files` analogue). Append-mode tables grow one
@@ -222,7 +238,10 @@ class SnapshotCatalog:
             live = [s] if s["mode"] == "overwrite" else live + [s]
         if len(live) <= 1:
             return None
-        df = spark.read.parquet(*[s["dir"] for s in live])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[s["dir"] for s in live])
         if num_files is None:
             num_files = max(1, spark.sparkContext.defaultParallelism)
         max_it = max(s["meta"].get("iter", -1) for s in snaps)

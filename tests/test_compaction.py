@@ -97,3 +97,36 @@ def test_incremental_reader_stable_across_compact(spark, t1_dir, tmp_path):
     # a fresh window across the compaction overwrite refuses loudly
     with pytest.raises(ValueError, match="overwrite"):
         cat.read_incremental(spark, "results", after_iter=0)
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """Iceberg-style additive schema evolution: a snapshot written with an
+    extra column unions cleanly under merge_schema=True (old rows NULL for
+    the new column); compaction of the evolved chain preserves the merged
+    shape. The default read stays cheap (no footer-merge pass)."""
+    cat = SnapshotCatalog(str(tmp_path / "evo"))
+    v1 = spark.range(5).select(F.col("id").alias("url_hash"),
+                               F.lit(0).alias("seen_iter"))
+    cat.write(v1, "seen", mode="append", meta={"iter": 0})
+    v2 = spark.range(5, 8).select(
+        F.col("id").alias("url_hash"), F.lit(1).alias("seen_iter"),
+        F.lit("abc").alias("source_tag"),  # the added column
+    )
+    cat.write(v2, "seen", mode="append", meta={"iter": 1})
+
+    merged = cat.read(spark, "seen", merge_schema=True)
+    assert set(merged.columns) == {"url_hash", "seen_iter", "source_tag"}
+    rows = {r["url_hash"]: r["source_tag"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "abc"
+    assert merged.count() == 8
+
+    # incremental read of just the evolved delta carries the new column
+    delta = cat.read_incremental(spark, "seen", after_iter=0,
+                                 merge_schema=True)
+    assert "source_tag" in delta.columns and delta.count() == 3
+
+    # compaction rewrites the merged shape into one snapshot
+    cat.compact(spark, "seen", merge_schema=True)
+    after = cat.read(spark, "seen")
+    assert set(after.columns) == {"url_hash", "seen_iter", "source_tag"}
+    assert after.count() == 8
