@@ -80,11 +80,24 @@ class CrawlConfig:
     # north_rule "bloom/cuckoo URL-seen"). Either way the sketch never
     # decides: the exact anti-join against the active seen table does.
     sketch: str = "bloom"
+    # cuckoo capacity per partition (slots = 4 × buckets; ~95% fillable).
+    # Size for the ACTIVE seen set: buckets × 4 × bloom_partitions ≥
+    # active URLs / 0.95, or the per-partition insert raises loudly.
+    cuckoo_buckets: int = 1 << 14
     # compact the append-mode state tables (seen/results) every k committed
     # iterations — bounds the small-file count the next iteration scans
     # (SnapshotCatalog.compact; the Iceberg rewrite_data_files analogue)
     compact_every: int | None = None
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.sketch not in ("bloom", "cuckoo"):
+            # fail at construction, not as a missing-column AnalysisException
+            # three stages into the first iteration
+            raise ValueError(
+                f"CrawlConfig.sketch must be 'bloom' or 'cuckoo', got "
+                f"{self.sketch!r}"
+            )
 
 
 FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
@@ -217,10 +230,23 @@ def run_crawl(
         # rebuilds from the UNFILTERED set (it keeps TTL-expired history on
         # purpose — it cannot delete), the cuckoo from the ACTIVE set (its
         # whole point is pruning expiries).
+        sketch_cached = None
         if use_sketch and seen is not None:
             rebuild = sketch is None or catalog.latest_iter(
                 sketch_table, max_iter=committed
             ) < catalog.latest_iter("seen", max_iter=committed)
+            if not rebuild and cfg.sketch == "cuckoo":
+                # the cuckoo's stored content depends on the TTL it was
+                # maintained under: a resume with a LONGER (or no) TTL
+                # re-activates generations the old sketch already deleted —
+                # probing it would under-approximate the active set and
+                # silently re-crawl seen URLs. The maintenance TTL is
+                # persisted in the snapshot meta; any mismatch (including
+                # pre-upgrade catalogs without the key) rebuilds.
+                stored_ttl = catalog.latest_meta(
+                    sketch_table, max_iter=committed
+                ).get("ttl_iters", "__absent__")
+                rebuild = stored_ttl != cfg.ttl_iters
             if not rebuild:
                 first = sketch.select("num_partitions").first()
                 rebuild = first is None or int(first[0]) != cfg.bloom_partitions
@@ -231,8 +257,15 @@ def run_crawl(
                     )
                 else:
                     sketch = build_cuckoo_partitions(
-                        seen, num_partitions=cfg.bloom_partitions
+                        seen,
+                        num_partitions=cfg.bloom_partitions,
+                        num_buckets=cfg.cuckoo_buckets,
                     )
+                # cache: the rebuilt sketch (a full-seen-set applyInPandas
+                # pass) feeds BOTH the probe and the 5b merge/update write —
+                # uncached it would execute twice
+                sketch = sketch.cache()
+                sketch_cached = sketch
 
         # 1. not-seen filter (sketch pre-pass via the map-side
         # co-partitioned probe — sketches never visit the driver; exact
@@ -278,12 +311,43 @@ def run_crawl(
                 pre_batch.unpersist()
                 gated.unpersist()
                 candidates.unpersist()
+                if sketch_cached is not None:
+                    sketch_cached.unpersist()
                 break
             meta = {"iter": it}
             accrued = politeness.next_bucket_state(
                 gated_hosts, batch, bucket_state, window_ms=cfg.window_ms
             )
             catalog.write(accrued, "politeness", mode="overwrite", meta=meta)
+            # sketch maintenance cannot skip an accrual iteration: each
+            # seen generation is deleted from the cuckoo exactly once, at
+            # exactly its expiry iteration (a skipped deletion lingers
+            # forever — and catching up later with <= would double-delete
+            # keys re-seen since). Also persists any freshness/geometry
+            # rebuild done at the top of the loop so consecutive accrual
+            # iterations don't re-derive it.
+            if use_sketch and sketch is not None:
+                sk_meta = {"iter": it}
+                if cfg.sketch == "cuckoo":
+                    sk_meta["ttl_iters"] = cfg.ttl_iters
+                    if seen_full is not None and cfg.ttl_iters is not None:
+                        expiring = seen_full.filter(
+                            F.col("seen_iter") == it + 1 - cfg.ttl_iters
+                        )
+                        sketch = update_cuckoo_tables(
+                            sketch,
+                            None,
+                            expiring,
+                            num_partitions=cfg.bloom_partitions,
+                            num_buckets=cfg.cuckoo_buckets,
+                        )
+                    catalog.write(
+                        sketch, sketch_table, mode="overwrite", meta=sk_meta
+                    )
+                elif sketch_cached is not None:
+                    catalog.write(
+                        sketch, sketch_table, mode="overwrite", meta=sk_meta
+                    )
             empty_lineage = spark.createDataFrame(
                 [(it, -1, "empty", 0, 0, cfg.run_ts)], schema=schemas.LINEAGE
             )
@@ -296,6 +360,8 @@ def run_crawl(
             pre_batch.unpersist()
             gated.unpersist()
             candidates.unpersist()
+            if sketch_cached is not None:
+                sketch_cached.unpersist()
             continue
 
         # 3. fetch + decode + phash
@@ -376,6 +442,7 @@ def run_crawl(
                     new_seen,
                     expiring,
                     num_partitions=cfg.bloom_partitions,
+                    num_buckets=cfg.cuckoo_buckets,
                 )
 
         # 5c. frontier edges from outlinks; remaining = gated - dequeued + new
@@ -429,7 +496,15 @@ def run_crawl(
         catalog.write(results, "results", mode="append", meta=meta)
         catalog.write(new_seen, "seen", mode="append", meta=meta)
         if use_sketch:
-            catalog.write(merged_sketch, sketch_table, mode="overwrite", meta=meta)
+            sk_meta = dict(meta)
+            if cfg.sketch == "cuckoo":
+                # the maintenance TTL travels with the snapshot: a resume
+                # under a different ttl_iters must rebuild (see the
+                # freshness check at the top of the loop)
+                sk_meta["ttl_iters"] = cfg.ttl_iters
+            catalog.write(
+                merged_sketch, sketch_table, mode="overwrite", meta=sk_meta
+            )
         catalog.write(next_frontier, "frontier", mode="overwrite", meta=meta)
 
         # one-pass metrics aggregate (vs one action per counter)
@@ -492,5 +567,7 @@ def run_crawl(
         deduped.unpersist()
         gated.unpersist()
         candidates.unpersist()
+        if sketch_cached is not None:
+            sketch_cached.unpersist()
 
     return {"start_iter": start_iter, "iterations": summary}

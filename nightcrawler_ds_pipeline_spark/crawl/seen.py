@@ -290,6 +290,8 @@ def filter_unseen(
     broadcast: the legacy driver-collect pandas-UDF pre-filter — fine for
     tests and micro-batches, unusable once the sketch table outgrows RAM.
     """
+    if sketch not in ("bloom", "cuckoo"):
+        raise ValueError(f"filter_unseen: unknown sketch {sketch!r}")
     if seen_df is None:
         return candidates
     seen_keys = seen_df.select(key)

@@ -96,6 +96,16 @@ class SnapshotCatalog:
             snaps = [s for s in snaps if s["meta"].get("iter", -1) <= max_iter]
         return max((s["meta"].get("iter", -1) for s in snaps), default=-1)
 
+    def latest_meta(self, table: str, max_iter: int | None = None) -> dict:
+        """Meta dict of the newest committed snapshot (``<= max_iter`` when
+        given), or {} — manifest-only. The crawl loop stores sketch-validity
+        config (e.g. the cuckoo's ttl_iters) here so a resume under a
+        different config can detect and rebuild."""
+        snaps = self._load_manifest(table)
+        if max_iter is not None:
+            snaps = [s for s in snaps if s["meta"].get("iter", -1) <= max_iter]
+        return dict(snaps[-1]["meta"]) if snaps else {}
+
     def exists(self, table: str) -> bool:
         return bool(self._load_manifest(table))
 

@@ -298,16 +298,29 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import uuid
+
     out = fixture_dir(tier, root)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == FIXTURE_VERSION:
-                return out
-        # stale cache from an older generator — rebuild (drop in place;
-        # the atomic rename below republishes a complete dir)
-        shutil_rm = __import__("shutil").rmtree
-        shutil_rm(out, ignore_errors=True)
+        try:
+            with open(marker) as f:
+                current = f.read().strip() == FIXTURE_VERSION
+        except FileNotFoundError:
+            current = False  # a racer retired the dir between exists+open
+        if current:
+            return out
+        # stale cache from an older generator: retire it ATOMICALLY
+        # (rename away, then delete the retired copy) so a concurrent
+        # reader sees either the old complete dir or none — never a
+        # half-deleted one. A racer losing the rename just proceeds to
+        # the staging publish below.
+        retired = f"{out}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(out, retired)
+            shutil.rmtree(retired, ignore_errors=True)
+        except OSError:
+            pass
     staging = f"{out}.staging-{os.getpid()}"
     os.makedirs(staging, exist_ok=True)
     sizes = TIERS[tier]

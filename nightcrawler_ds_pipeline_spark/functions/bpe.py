@@ -113,7 +113,7 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         best_rank = min(r for r, _ in ranked)
         # merge ALL occurrences of the best-ranked pair left to right
-        pair = None
+        # (ranks are unique per pair, so matching by rank identifies it)
         out: list[str] = []
         i = 0
         while i < len(syms):
@@ -121,8 +121,6 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
                 i + 1 < len(syms)
                 and ranks.get((syms[i], syms[i + 1])) == best_rank
             ):
-                if pair is None:
-                    pair = (syms[i], syms[i + 1])
                 out.append(syms[i] + syms[i + 1])
                 i += 2
             else:

@@ -36,7 +36,7 @@ _PROFILES_RAW: dict[str, list[str]] = {
     "de": ["en_", "er_", "_de", "der", "ie_", "die", "nd_", "und", "_un",
            "ein", "ch_", "sch", "ich", "che", "_ei", "in_", "ung", "ng_",
            "das", "_da", "as_", "ten", "ber", "_ge", "gen", "ine", "_ve",
-           "ver", "nen", "eit", "it_", "den", "_zu", "zu_", "icht"],
+           "ver", "nen", "eit", "it_", "den", "_zu", "zu_", "ert"],
     "fr": ["es_", "_de", "de_", "le_", "_le", "ent", "nt_", "et_", "_et",
            "les", "_la", "la_", "ion", "on_", "re_", "que", "_qu", "ue_",
            "des", "ais", "ur_", "_pa", "par", "our", "ait", "eur", "_co",
@@ -47,16 +47,16 @@ _PROFILES_RAW: dict[str, list[str]] = {
            "il_", "are", "_so", "ont", "ita", "gli", "_un", "una"],
     "es": ["_de", "de_", "os_", "la_", "_la", "el_", "_el", "en_", "_en",
            "es_", "_es", "as_", "ión", "ón_", "ent", "que", "_qu", "ue_",
-           "_co", "con", "ción", "ado", "ar_", "_se", "del", "los", "_lo",
-           "nte", "ista", "por", "_po", "para", "una", "_un", "cia"],
+           "_co", "con", "ció", "ado", "ar_", "_se", "del", "los", "_lo",
+           "nte", "ist", "por", "_po", "ara", "una", "_un", "cia"],
     "pt": ["_de", "de_", "os_", "ão_", "ção", "que", "_qu", "ue_", "ent",
            "_co", "com", "om_", "da_", "_da", "do_", "_do", "es_", "ar_",
-           "ra_", "para", "_pa", "par", "uma", "_um", "um_", "não", "_nã",
+           "ra_", "ões", "_pa", "par", "uma", "_um", "um_", "não", "_nã",
            "ade", "nte", "ais", "as_", "_se", "se_", "por", "_po"],
     "nl": ["en_", "de_", "_de", "et_", "an_", "_he", "het", "van", "_va",
-           "_en", "een", "_ee", "er_", "ijk", "_ge", "en_", "aar", "der",
-           "ing", "ng_", "oor", "_vo", "voor", "ver", "_ve", "aan", "_aa",
-           "ijn", "zijn", "_zi", "te_", "_te", "ten", "cht", "sch"],
+           "_en", "een", "_ee", "er_", "ijk", "_ge", "nde", "aar", "der",
+           "ing", "ng_", "oor", "_vo", "den", "ver", "_ve", "aan", "_aa",
+           "ijn", "gen", "_zi", "te_", "_te", "ten", "cht", "sch"],
     "sv": ["en_", "er_", "tt_", "att", "_at", "och", "_oc", "ch_", "det",
            "_de", "et_", "för", "_fö", "ör_", "som", "_so", "om_", "ar_",
            "_ha", "har", "til", "ill", "_ti", "ing", "ng_", "den", "ett",

@@ -133,9 +133,17 @@ def parse_robots(
     )
     bodies = keyed.select("body_key", "body").dropDuplicates(["body_key"])
     parsed = _parse_distinct_bodies(bodies, agent)
-    out = keyed.select("host", "body_key").distinct().join(
-        parsed, "body_key", "left"
+    # ONE row per host, always: a host appearing with multiple distinct
+    # bodies (e.g. refetched robots appended to the raw table) resolves
+    # deterministically to a single body (max body_key). The pre-dedup
+    # implementation interleaved both bodies' lines in one window
+    # partition — undefined group numbering — so this is a strict upgrade.
+    host_body = (
+        keyed.select("host", "body_key")
+        .groupBy("host")
+        .agg(F.max("body_key").alias("body_key"))
     )
+    out = host_body.join(parsed, "body_key", "left")
     return out.select(
         "host",
         F.coalesce(F.col("delay_ms"), F.lit(default_crawl_delay_ms)).alias(

@@ -117,14 +117,11 @@ def test_crawl_loop_cuckoo_matches_bloom(spark, t1_dir, tmp_path):
     assert cc.read(spark, "bloom") is None
 
 
-def test_ttl_recrawl_through_cuckoo_and_sketch_pruned(spark, tmp_path):
-    """The VERDICT-prescribed path: TTL re-crawl driven through the cuckoo
-    sketch — expired keys are DELETED from the sketch (num_items shrinks
-    back) while crawl behavior equals the exact-join semantics."""
-    from tests.test_ttl_recrawl import URL_A, URL_B  # reuse fixture URLs
+def _build_pingpong_dir(tmp_path):
+    """Two URLs that link to each other (A seeds, A→B, B→A) — the minimal
+    TTL re-crawl universe, mirroring tests/test_ttl_recrawl.py."""
+    from tests.test_ttl_recrawl import URL_A, URL_B
 
-    pytest.importorskip("pandas")
-    # build the pingpong fixture inline (fixture function not importable)
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -165,9 +162,18 @@ def test_ttl_recrawl_through_cuckoo_and_sketch_pruned(spark, tmp_path):
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        str(d / f"{name}.parquet"))
     shutil.copy(f"{t1}/images.parquet", str(d / "images.parquet"))
+    return str(d)
 
+
+def test_ttl_recrawl_through_cuckoo_and_sketch_pruned(spark, tmp_path):
+    """The VERDICT-prescribed path: TTL re-crawl driven through the cuckoo
+    sketch — expired keys are DELETED from the sketch (num_items shrinks
+    back) while crawl behavior equals the exact-join semantics."""
+    from tests.test_ttl_recrawl import URL_A, URL_B
+
+    d = _build_pingpong_dir(tmp_path)
     cat = SnapshotCatalog(str(tmp_path / "cat"))
-    run_crawl(spark, cat, str(d),
+    run_crawl(spark, cat, d,
               CrawlConfig(iterations=3, ttl_iters=1, sketch="cuckoo",
                           bloom_min_seen=0))
     results = cat.read(spark, "results")
@@ -217,3 +223,50 @@ def test_cuckoo_ttl_compaction_resume_combined(spark, t1_dir, tmp_path):
         )
 
     assert state(cat) == state(golden_cat)
+
+
+def test_cuckoo_rebuilds_when_ttl_config_changes_on_resume(spark, tmp_path):
+    """A cuckoo maintained under ttl_iters=1 has deleted generations that a
+    resume with ttl_iters=None RE-ACTIVATES. The stored sketch would
+    under-approximate the active seen set — a sketch false negative
+    bypasses the exact anti-join and silently re-crawls — so the loop must
+    detect the TTL config change (persisted in the sketch snapshot meta)
+    and rebuild from the seen table. Without the rebuild, URL_A would be
+    re-dequeued at iteration 2."""
+    from tests.test_ttl_recrawl import URL_A, URL_B
+
+    d = _build_pingpong_dir(tmp_path)
+    cat = SnapshotCatalog(str(tmp_path / "drift"))
+    run_crawl(spark, cat, d,
+              CrawlConfig(iterations=2, ttl_iters=1, sketch="cuckoo",
+                          bloom_min_seen=0))
+    # iter0: A; iter1: B. Under ttl=1 the sketch has deleted BOTH.
+    sk = cat.read(spark, "cuckoo")
+    assert sum(int(r["num_items"]) for r in sk.collect()) == 0
+
+    # resume WITHOUT TTL: every seen row is active again, A must stay seen
+    run_crawl(spark, cat, d,
+              CrawlConfig(iterations=4, ttl_iters=None, sketch="cuckoo",
+                          bloom_min_seen=0))
+    results = cat.read(spark, "results")
+    a_iters = sorted(
+        r["iter"] for r in results.filter(results.url == URL_A).collect()
+    )
+    b_iters = sorted(
+        r["iter"] for r in results.filter(results.url == URL_B).collect()
+    )
+    assert a_iters == [0], a_iters  # NOT re-crawled under ttl=None
+    assert b_iters == [1], b_iters
+    # The resumed run ends at the empty-frontier break without committing
+    # an iteration, so the in-memory rebuild is (correctly) not persisted —
+    # the stored snapshot still carries the old TTL meta, which is exactly
+    # what makes the NEXT resume rebuild again instead of trusting it.
+    assert cat.latest_meta("cuckoo").get("ttl_iters") == 1
+    # and that next resume is still re-crawl-free
+    run_crawl(spark, cat, d,
+              CrawlConfig(iterations=5, ttl_iters=None, sketch="cuckoo",
+                          bloom_min_seen=0))
+    results = cat.read(spark, "results")
+    assert sorted(
+        r["iter"] for r in results.filter(results.url == URL_A).collect()
+    ) == [0]
