@@ -47,6 +47,9 @@ def main() -> None:
                          "suppressing re-fetch (reference cache_duration)")
     ap.add_argument("--compact-every", type=int, default=None,
                     help="compact append-mode state tables every k iterations")
+    ap.add_argument("--robots-max-age", type=int, default=None,
+                    help="robots.txt cache TTL in iterations (stale entries "
+                         "re-fetch from the source; default: always fresh)")
     args = ap.parse_args()
 
     from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
@@ -75,6 +78,7 @@ def main() -> None:
         bloom_min_seen=args.bloom_min_seen,
         ttl_iters=args.ttl_iters,
         compact_every=args.compact_every,
+        robots_max_age_iters=args.robots_max_age,
     )
     summary = run_crawl(spark, catalog, fixtures, cfg)
     print(json.dumps(summary))

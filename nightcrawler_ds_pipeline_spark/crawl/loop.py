@@ -84,6 +84,13 @@ class CrawlConfig:
     # Size for the ACTIVE seen set: buckets × 4 × bloom_partitions ≥
     # active URLs / 0.95, or the per-partition insert raises loudly.
     cuckoo_buckets: int = 1 << 14
+    # robots.txt cache TTL (north_rule "robots.txt cache"): entries older
+    # than this many iterations are re-fetched from the robots source and
+    # re-stamped; the cache lives in the catalog ("robots" table) with the
+    # same commit/rollback semantics as the rest of the state. None
+    # (default) = read the source directly each iteration (always fresh —
+    # the reference-parity behavior on static fixtures).
+    robots_max_age_iters: int | None = None
     # compact the append-mode state tables (seen/results) every k committed
     # iterations — bounds the small-file count the next iteration scans
     # (SnapshotCatalog.compact; the Iceberg rewrite_data_files analogue)
@@ -284,7 +291,24 @@ def run_crawl(
         # bucket accounting all reuse it), then the token-bucket dequeue —
         # unspent time rolls over so skipped slow hosts catch up later
         bucket_state = catalog.read(spark, "politeness", max_iter=committed)
-        gated = politeness.robots_filter(candidates, robots).cache()
+        # robots cache with TTL refresh (opt-in): stale entries re-fetch
+        # from the source and the refreshed cache snapshots into the
+        # catalog — written pre-commit like the other state tables, so a
+        # crash before the lineage finalizer rolls it back with the rest
+        if cfg.robots_max_age_iters is not None:
+            robots_cur = politeness.refresh_robots(
+                catalog.read(spark, "robots", max_iter=committed),
+                robots,
+                it,
+                cfg.robots_max_age_iters,
+            )
+            catalog.write(
+                robots_cur, "robots", mode="overwrite", meta={"iter": it}
+            )
+            robots_cur = catalog.read(spark, "robots", max_iter=it)
+        else:
+            robots_cur = robots
+        gated = politeness.robots_filter(candidates, robots_cur).cache()
         # dequeue WITHOUT seq, cache, count — then number with known_count so
         # big batches take the range-partitioned two-pass path (no global
         # single-partition window anywhere in the loop)

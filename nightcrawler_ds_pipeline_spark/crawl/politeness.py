@@ -248,3 +248,37 @@ def next_bucket_state(
         )
         new_state = new_state.unionByName(absent)
     return new_state
+
+
+def refresh_robots(
+    cached: DataFrame | None,
+    source: DataFrame,
+    current_iter: int,
+    max_age_iters: int,
+) -> DataFrame:
+    """robots.txt cache TTL maintenance (north_rule "robots.txt cache"):
+    entries fetched within ``max_age_iters`` iterations are served from
+    cache; stale or missing hosts are re-fetched from ``source`` (the
+    network stand-in — in production, a fetch of /robots.txt) and stamped
+    ``fetched_at_iter = current_iter``. A host absent from the source is
+    evicted when its cache entry EXPIRES (fresh entries serve until then —
+    standard serve-until-expiry cache semantics). One left-anti join on host — the robots table is one row per
+    host, far below broadcast range at any realistic host count.
+
+    Reference analogue: the per-API response-cache TTLs
+    (helpers/api/serp_api.py:44, zyte_api.py:28-32) applied to the robots
+    fetch instead of the page fetch."""
+    cols = ["host", "crawl_delay_ms", "disallow_prefixes", "fetched_at_iter"]
+    stamped = source.select(
+        "host",
+        "crawl_delay_ms",
+        "disallow_prefixes",
+        F.lit(current_iter).cast("int").alias("fetched_at_iter"),
+    )
+    if cached is None:
+        return stamped
+    fresh = cached.select(*cols).filter(
+        F.col("fetched_at_iter") > current_iter - max_age_iters
+    )
+    refetched = stamped.join(fresh.select("host"), "host", "left_anti")
+    return fresh.unionByName(refetched)
