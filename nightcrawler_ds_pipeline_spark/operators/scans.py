@@ -186,13 +186,16 @@ _ROBOTS_BODIES = [
            CASE CAST(o_orderkey % 3 AS INTEGER)
              WHEN 0 THEN 2500 WHEN 1 THEN 1000 ELSE 1000 END AS crawl_delay_ms,
            CASE CAST(o_orderkey % 3 AS INTEGER)
-             WHEN 0 THEN ['/admin', '/cart']
-             WHEN 1 THEN ['/private', '/tmp']
-             ELSE [] END AS disallow_prefixes
+             WHEN 0 THEN '/admin|/cart'
+             WHEN 1 THEN '/private|/tmp'
+             ELSE '' END AS disallow_prefixes
     FROM orders ORDER BY host
     """,
 )
 def robots_parse(spark, sf_dir):
+    # parse_robots keeps its array<string> output for the dequeue path; the
+    # driver-facing projection flattens it (the driver's pandas value-hash
+    # sorts the full result and dies on list cells — see CLAUDE.md invariant).
     from nightcrawler_ds_pipeline_spark.functions.robots import parse_robots
 
     orders = read_table(spark, sf_dir, "orders")
@@ -205,7 +208,15 @@ def robots_parse(spark, sf_dir):
         F.concat(F.lit("host"), F.col("o_orderkey").cast("string")).alias("host"),
         body.alias("body"),
     )
-    return parse_robots(raw).orderBy("host")
+    return (
+        parse_robots(raw)
+        .select(
+            "host",
+            "crawl_delay_ms",
+            F.array_join("disallow_prefixes", "|").alias("disallow_prefixes"),
+        )
+        .orderBy("host")
+    )
 
 
 # --- composite driver queries ------------------------------------------------

@@ -22,3 +22,30 @@ def test_rows_only_query_runs(spark, name):
     rows = df.collect()
     assert df.columns, name
     assert rows is not None  # ≥0 rows with a stable schema is the contract
+
+
+def test_registered_queries_have_atomic_schemas(spark):
+    """Registry-wide tripwire: the driver's pandas value-hash sorts the
+    whole result frame before hashing, and list/dict cells are unhashable
+    (robots_parse's r3 red row). Same hazard family as the NULL-union-sort-
+    key rule in CLAUDE.md: NO registered query may output a nested type —
+    project arrays through array_join / to_json before registering.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def nested_fields(schema, prefix=""):
+        bad = []
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                bad.append(prefix + f.name)
+            elif isinstance(f.dataType, StructType):
+                bad.append(prefix + f.name)
+        return bad
+
+    offenders = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        bad = nested_fields(df.schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested-typed driver outputs (unhashable): {offenders}"
