@@ -354,6 +354,7 @@ def run_crawl(
                 sk_meta = {"iter": it}
                 if cfg.sketch == "cuckoo":
                     sk_meta["ttl_iters"] = cfg.ttl_iters
+                    applied_deletes = False
                     if seen_full is not None and cfg.ttl_iters is not None:
                         expiring = seen_full.filter(
                             F.col("seen_iter") == it + 1 - cfg.ttl_iters
@@ -365,9 +366,16 @@ def run_crawl(
                             num_partitions=cfg.bloom_partitions,
                             num_buckets=cfg.cuckoo_buckets,
                         )
-                    catalog.write(
-                        sketch, sketch_table, mode="overwrite", meta=sk_meta
-                    )
+                        applied_deletes = True
+                    # with no TTL there are no deletions: rewriting the
+                    # unchanged multi-MB snapshot every token-starved
+                    # iteration only grows the manifest — skip unless a
+                    # rebuild happened this iteration (mirrors the bloom
+                    # branch's sketch_cached guard)
+                    if applied_deletes or sketch_cached is not None:
+                        catalog.write(
+                            sketch, sketch_table, mode="overwrite", meta=sk_meta
+                        )
                 elif sketch_cached is not None:
                     catalog.write(
                         sketch, sketch_table, mode="overwrite", meta=sk_meta

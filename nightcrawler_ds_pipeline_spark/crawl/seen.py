@@ -299,6 +299,13 @@ def filter_unseen(
         return candidates.join(seen_keys, key, "left_anti")
 
     if sketch == "cuckoo":
+        if probe != "copartition":
+            # the diagnostic broadcast probe exists only for the Bloom;
+            # silently falling back would hide a misconfiguration
+            raise ValueError(
+                f"filter_unseen: probe={probe!r} is not supported with "
+                "sketch='cuckoo' (only 'copartition')"
+            )
         # cuckoo sketches share the probe contract (false positives only),
         # so the same suspects → confirm → anti-join pipeline applies
         suspect_keys = cuckoo_suspect_keys(candidates, bloom_df, key, num_partitions)

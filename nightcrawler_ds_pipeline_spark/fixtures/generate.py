@@ -310,17 +310,34 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
             current = False  # a racer retired the dir between exists+open
         if current:
             return out
-        # stale cache from an older generator: retire it ATOMICALLY
-        # (rename away, then delete the retired copy) so a concurrent
-        # reader sees either the old complete dir or none — never a
-        # half-deleted one. A racer losing the rename just proceeds to
-        # the staging publish below.
+        # stale cache from an older generator: retire it by RENAME ONLY.
+        # The rename is atomic, so a concurrent reader sees either the old
+        # complete dir or none — never a half-deleted one. The retired copy
+        # is deliberately LEFT ON DISK: a reader that already planned a
+        # Spark/pyarrow scan against the old dir's file listing would fail
+        # mid-read if we rmtree'd it here (this race only opens on
+        # FIXTURE_VERSION bumps). Retired copies from PREVIOUS runs (no
+        # longer reachable by any live reader of this process tree) are
+        # swept instead.
         retired = f"{out}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
             os.rename(out, retired)
-            shutil.rmtree(retired, ignore_errors=True)
         except OSError:
             pass
+        import time
+
+        parent = os.path.dirname(out) or "."
+        base = os.path.basename(out)
+        for entry in os.listdir(parent):
+            if not entry.startswith(f"{base}.stale-"):
+                continue
+            path = os.path.join(parent, entry)
+            try:
+                old_enough = time.time() - os.path.getmtime(path) > 3600
+            except OSError:
+                continue
+            if old_enough:
+                shutil.rmtree(path, ignore_errors=True)
     staging = f"{out}.staging-{os.getpid()}"
     os.makedirs(staging, exist_ok=True)
     sizes = TIERS[tier]

@@ -83,6 +83,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_rounds: int = 30,
+    verify: bool = True,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id of its component.
 
@@ -116,26 +117,29 @@ def connected_components(
     labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("node"), "component"
     )
-    # collision guard: convergence is detected by a 64-bit fingerprint, so a
-    # per-round ~2^-64 checksum collision could stop the loop on a non-star
-    # edge set and silently mislabel. In a true star forest no edge target
-    # is itself re-attached elsewhere — any v that also appears as a source
-    # u with component != itself fails loudly (one scalar count per call).
-    bad = (
-        e.select(F.col("v").alias("node"))
-        .distinct()
-        .join(
-            labels.filter(F.col("component") != F.col("node")),
-            "node",
-            "left_semi",
+    # collision guard (verify=True): convergence is detected by a 64-bit
+    # fingerprint, so a per-round ~2^-64 checksum collision could stop the
+    # loop on a non-star edge set and silently mislabel. In a true star
+    # forest no edge target is itself re-attached elsewhere — any v that
+    # also appears as a source u with component != itself fails loudly (one
+    # scalar count per call). Callers that accept the 2^-64 risk on the hot
+    # path pass verify=False to skip the extra Spark action.
+    if verify:
+        bad = (
+            e.select(F.col("v").alias("node"))
+            .distinct()
+            .join(
+                labels.filter(F.col("component") != F.col("node")),
+                "node",
+                "left_semi",
+            )
+            .count()
         )
-        .count()
-    )
-    if bad:
-        raise RuntimeError(
-            "connected_components: fixpoint is not a star forest "
-            f"({bad} non-root edge targets) — fingerprint collision?"
-        )
+        if bad:
+            raise RuntimeError(
+                "connected_components: fixpoint is not a star forest "
+                f"({bad} non-root edge targets) — fingerprint collision?"
+            )
     roots = e.select(F.col("v").alias("node")).distinct().join(
         labels.select("node"), "node", "left_anti"
     ).withColumn("component", F.col("node"))

@@ -2,24 +2,36 @@
 from the individual operators this repo already ships —
 
     documents
-      → language gate   (lang_pred = 'en', textstats heuristic)
-      → quality gate    (composite quality ≥ 0.5, non-empty)
-      → exact dedup     (keep MIN doc_id per normalized-content md5)
-      → near-dup groups (MinHash-LSH pairs → connected components)
-      → labeled corpus  (every kept doc with its dup group + canonical flag)
+      → language gate    (lang_pred = 'en'; marker heuristic or real
+                          trigram langid via CurationConfig)
+      → quality gate     (composite quality ≥ 0.5, non-empty)
+      → Gopher rules     (Rae et al. 2021 App. A1.1 document-quality pass)
+      → exact dedup      (keep MIN doc_id per normalized-content md5)
+      → span-dup gate    (Lee et al. ACL'22 cross-doc n-gram signal:
+                          drop docs whose shingles are mostly duplicated)
+      → near-dup groups  (MinHash-LSH pairs → connected components)
+      → labeled corpus   (every kept doc with its dup group + canonical flag)
 
-Everything stays JVM-side DataFrame algebra except the CC rounds (joins);
-the one full-corpus shuffle chain is: filter → hash-agg (exact dedup) →
-explode/agg (signatures) → band equi-join (candidates) → O(log n) CC
-rounds. No crossJoin, no driver-side data, no Python UDF — at 100 TB every
-stage is a key-partitioned shuffle AQE can size.
+Everything stays JVM-side DataFrame algebra except the CC rounds (joins)
+and the opt-in real models (Arrow-batched pandas UDFs); the full-corpus
+shuffle chain is: filter → hash-agg (exact dedup) → groupBy(shingle) with
+map-side combine (span-dup) → explode/agg (signatures) → band equi-join
+(candidates) → O(log n) CC rounds. No crossJoin, no driver-side data, no
+row-at-a-time UDF — at 100 TB every stage is a key-partitioned shuffle AQE
+can size.
 
-The DuckDB oracle mirrors the whole chain (recursive CTE for the CC step),
-so the driver hash-checks the END-TO-END result, not just the stages.
+The DuckDB oracle mirrors the whole DEFAULT chain (recursive CTE for the
+CC step), so the driver hash-checks the END-TO-END result, not just the
+stages. The real-model switches (lang_model="ngram", min_real_tokens) have
+no SQL twin by nature — they are exercised end-to-end in pytest
+(tests/test_plans_curation.py) against the same invariants.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nightcrawler_ds_pipeline_spark.registry import register
@@ -30,16 +42,151 @@ from nightcrawler_ds_pipeline_spark.operators.components import (
 from nightcrawler_ds_pipeline_spark.operators.dedup import (
     minhash_band_pairs_df,
     minhash_pairs_sql,
+    ngram_dup_sql,
+    ngram_dup_stats_df,
 )
 from nightcrawler_ds_pipeline_spark.operators.textstats import (
     _LANG_MARKERS,
     _score_sql,
     _WORDS_DUCK,
+    _words_col,
+    gopher_keep_col,
+    gopher_keep_sql,
+    gopher_metric_cols,
+    gopher_sql_metrics,
     lang_pred_col,
     quality_col,
 )
 
-_QUALITY_MIN = 0.5
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Knobs for the curation chain. The defaults are the oracle-parity
+    configuration the registered ``corpus_curation`` query runs; the
+    real-model switches trade the DuckDB twin for the trained models.
+
+    gopher_min_stop_hits is 1 (the paper uses 2): synthetic corpora carry
+    almost no English function words, so the published threshold keeps
+    zero documents — the paper value is one config flip away, and the
+    handcrafted-doc tests pin both settings' behavior.
+    """
+
+    quality_min: float = 0.5
+    gopher: bool = True
+    gopher_min_stop_hits: int = 1
+    # drop docs whose cross-document duplicated-shingle fraction exceeds
+    # this (None disables the gate)
+    max_dup_fraction: float | None = 0.8
+    # "marker" = oracle-parity stopword heuristic; "ngram" = the real
+    # Cavnar-Trenkle trigram model (functions/langid.py, rows-only path)
+    lang_model: str = "marker"
+    # when set, train real merges-table BPE (functions/bpe.py) on a
+    # bounded deterministic sample and require ≥ this many tokens
+    min_real_tokens: int | None = None
+
+    def __post_init__(self):
+        if self.lang_model not in ("marker", "ngram"):
+            raise ValueError(f"CurationConfig: unknown lang_model {self.lang_model!r}")
+
+
+DEFAULT_CURATION = CurationConfig()
+_C = DEFAULT_CURATION  # oracle mirrors exactly this configuration
+_G_SQL = gopher_sql_metrics()
+
+
+def curate(docs: DataFrame, cfg: CurationConfig = DEFAULT_CURATION) -> DataFrame:
+    """(doc_id, text) → (doc_id, quality, dup_fraction, group_id,
+    is_canonical), one row per kept document."""
+    docs = docs.filter(F.trim(F.coalesce("text", F.lit(""))) != "")
+    if cfg.lang_model == "ngram":
+        from nightcrawler_ds_pipeline_spark.functions.langid import langid_udf
+
+        lang = langid_udf(docs.sparkSession)(F.col("text"))
+    else:
+        lang = lang_pred_col()
+    gated = (
+        docs.withColumn("lang_pred", lang)
+        .withColumn("quality", quality_col())
+        .filter(
+            (F.col("lang_pred") == "en") & (F.col("quality") >= cfg.quality_min)
+        )
+        .select("doc_id", "text", "quality")
+    )
+    if cfg.gopher:
+        g = gated.withColumn("__w", _words_col()).withColumn(
+            "__lines", F.split("text", "\n")
+        )
+        m = gopher_metric_cols(F.col("__w"), F.col("__lines"))
+        gated = (
+            g.filter(gopher_keep_col(m, min_stop_hits=cfg.gopher_min_stop_hits))
+            .drop("__w", "__lines")
+        )
+    if cfg.min_real_tokens is not None:
+        from nightcrawler_ds_pipeline_spark.functions.bpe import (
+            bpe_token_count_udf,
+            train_bpe,
+        )
+
+        sample = [
+            r["text"]
+            for r in gated.select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(100)
+            .collect()
+        ]
+        count = bpe_token_count_udf(gated.sparkSession, train_bpe(sample))
+        gated = gated.filter(count(F.col("text")) >= cfg.min_real_tokens)
+    # exact dedup: keep the minimum doc_id per normalized-content hash —
+    # a hash-agg + semi-join, no window (min-per-key map-side combines)
+    content = F.md5(F.encode(F.lower(F.trim("text")), "utf-8"))
+    hashed = gated.withColumn("content_hash", content)
+    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    kept1 = hashed.join(keepers, ["content_hash", "doc_id"]).select(
+        "doc_id", "text", "quality"
+    )
+    # kept1 feeds the shingle stats AND the gate below — materialize once
+    # so the gate+exact-dedup lineage doesn't re-execute per consumer
+    kept1 = kept1.localCheckpoint(eager=True)
+    # span-dup gate: duplicated-shingle fraction computed over the exact-
+    # deduped survivors (exact copies would otherwise mark every shingle
+    # shared); docs with < N words carry no shingles → fraction 0 → kept
+    dup_frac = F.coalesce(
+        F.col("n_dup") / F.col("n_shingles"), F.lit(0.0)
+    )
+    with_dup = kept1.join(ngram_dup_stats_df(kept1), "doc_id", "left").withColumn(
+        "__dup_frac", dup_frac
+    )
+    if cfg.max_dup_fraction is not None:
+        with_dup = with_dup.filter(F.col("__dup_frac") <= cfg.max_dup_fraction)
+    kept = with_dup.select(
+        "doc_id", "text", "quality", F.col("__dup_frac").alias("dup_fraction")
+    )
+    # kept feeds three consumers (signature chain, CC node set, final
+    # join) — same materialize-once pattern
+    kept = kept.localCheckpoint(eager=True)
+    # MinHash-LSH candidate pairs over the kept docs — the ONE shared
+    # definition in dedup.py (same salt scheme + banding as its oracle)
+    # verify=False: the star-forest collision guard costs one extra full
+    # Spark action per call; the chain's output is already end-to-end
+    # hash-checked against the DuckDB oracle, so the 2^-64 fingerprint-
+    # collision risk is accepted on this hot path (the guard stays on by
+    # default everywhere else, incl. the standalone CC query)
+    pairs = minhash_band_pairs_df(kept.select("doc_id", "text"))
+    cc = connected_components(pairs, nodes=kept.select("doc_id"), verify=False)
+    return (
+        kept.join(
+            cc.select(F.col("node").alias("doc_id"), F.col("component")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.round("quality", 6).alias("quality"),
+            F.round("dup_fraction", 4).alias("dup_fraction"),
+            F.col("component").alias("group_id"),
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -57,15 +204,41 @@ _QUALITY_MIN = 0.5
     ),
     gated AS (
       SELECT doc_id, text, quality FROM base
-      WHERE s_en >= s_qd AND s_en >= s_qs AND quality >= {_QUALITY_MIN}
+      WHERE s_en >= s_qd AND s_en >= s_qs AND quality >= {_C.quality_min}
+    ),
+    garr AS (
+      SELECT doc_id, text, quality, {_WORDS_DUCK} AS w,
+             string_split(text, chr(10)) AS lines
+      FROM gated
+    ),
+    gm AS (
+      SELECT doc_id, text, quality,
+             {_G_SQL["n_words"]} AS n_words,
+             {_G_SQL["mean_word_len"]} AS mean_word_len,
+             {_G_SQL["frac_alpha_words"]} AS frac_alpha_words,
+             {_G_SQL["frac_bullet_lines"]} AS frac_bullet_lines,
+             {_G_SQL["frac_ellipsis_lines"]} AS frac_ellipsis_lines,
+             {_G_SQL["stop_hits"]} AS stop_hits
+      FROM garr
+    ),
+    gkeep AS (
+      SELECT doc_id, text, quality FROM gm
+      WHERE {gopher_keep_sql(min_stop_hits=_C.gopher_min_stop_hits)}
     ),
     exact AS (
       SELECT doc_id, text, quality,
              ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
                                 ORDER BY doc_id) AS rn
-      FROM gated
+      FROM gkeep
     ),
-    kept AS (SELECT doc_id, text, quality FROM exact WHERE rn = 1),
+    kept1 AS (SELECT doc_id, text, quality FROM exact WHERE rn = 1),
+    {ngram_dup_sql("kept1")},
+    kept AS (
+      SELECT k.doc_id, k.text, k.quality,
+             COALESCE(d.n_dup * 1.0 / d.n_shingles, 0) AS dup_fraction
+      FROM kept1 k LEFT JOIN nd_per_doc d ON k.doc_id = d.doc_id
+      WHERE COALESCE(d.n_dup * 1.0 / d.n_shingles, 0) <= {_C.max_dup_fraction}
+    ),
     {minhash_pairs_sql("kept")},
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
@@ -79,6 +252,7 @@ _QUALITY_MIN = 0.5
     comp AS (SELECT n AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY n)
     SELECT k.doc_id,
            ROUND(k.quality, 6) AS quality,
+           ROUND(k.dup_fraction, 4) AS dup_fraction,
            CAST(c.group_id AS BIGINT) AS group_id,
            (k.doc_id = c.group_id) AS is_canonical
     FROM kept k JOIN comp c ON k.doc_id = c.doc_id
@@ -86,42 +260,4 @@ _QUALITY_MIN = 0.5
     """,
 )
 def corpus_curation(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.trim(F.coalesce("text", F.lit(""))) != ""
-    )
-    gated = (
-        docs.withColumn("lang_pred", lang_pred_col())
-        .withColumn("quality", quality_col())
-        .filter(
-            (F.col("lang_pred") == "en") & (F.col("quality") >= _QUALITY_MIN)
-        )
-    )
-    # exact dedup: keep the minimum doc_id per normalized-content hash —
-    # a hash-agg + semi-join, no window (min-per-key map-side combines)
-    content = F.md5(F.encode(F.lower(F.trim("text")), "utf-8"))
-    hashed = gated.withColumn("content_hash", content)
-    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    kept = hashed.join(keepers, ["content_hash", "doc_id"]).select(
-        "doc_id", "text", "quality"
-    )
-    # kept feeds three consumers (signature chain, CC node set, final
-    # join) — materialize once so the gate+exact-dedup lineage doesn't
-    # re-execute per action (same pattern as connected_components' edges)
-    kept = kept.localCheckpoint(eager=True)
-    # MinHash-LSH candidate pairs over the kept docs — the ONE shared
-    # definition in dedup.py (same salt scheme + banding as its oracle)
-    pairs = minhash_band_pairs_df(kept.select("doc_id", "text"))
-    cc = connected_components(pairs, nodes=kept.select("doc_id"))
-    return (
-        kept.join(
-            cc.select(F.col("node").alias("doc_id"), F.col("component")),
-            "doc_id",
-        )
-        .select(
-            "doc_id",
-            F.round("quality", 6).alias("quality"),
-            F.col("component").alias("group_id"),
-            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
-    )
+    return curate(read_table(spark, sf_dir, "documents"), DEFAULT_CURATION)

@@ -406,37 +406,38 @@ def dedup_jaccard_suite(spark, sf_dir):
 _NGRAM_N = 8
 
 
-@register(
-    "text_dup_ngram_stats",
-    oracle=f"""
-    WITH words AS (
+def ngram_dup_sql(src: str, prefix: str = "nd") -> str:
+    """DuckDB CTE fragment (same contract as ``minhash_pairs_sql``): computes
+    per-document cross-document repeated-shingle counts over ``src`` (a
+    relation with doc_id, text). Final CTE ``{prefix}_per_doc`` has
+    (doc_id, n_shingles, n_dup). Embed inside an existing WITH list."""
+    n = _NGRAM_N
+    return f"""{prefix}_words AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-      FROM documents
+      FROM {src}
     ),
-    sh AS (
+    {prefix}_sh AS (
       SELECT DISTINCT doc_id,
-             unnest([array_to_string(w[i:i+{_NGRAM_N - 1}], ' ')
-                     for i in generate_series(1, len(w) - {_NGRAM_N - 1})]) AS s
-      FROM words WHERE len(w) >= {_NGRAM_N}
+             unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                     for i in generate_series(1, len(w) - {n - 1})]) AS s
+      FROM {prefix}_words WHERE len(w) >= {n}
     ),
-    shared AS (
-      SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    {prefix}_shared AS (
+      SELECT s FROM {prefix}_sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
     ),
-    per_doc AS (
+    {prefix}_per_doc AS (
       SELECT sh.doc_id,
              COUNT(*) AS n_shingles,
              SUM(CASE WHEN shared.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
-      FROM sh LEFT JOIN shared ON sh.s = shared.s
+      FROM {prefix}_sh sh LEFT JOIN {prefix}_shared shared ON sh.s = shared.s
       GROUP BY sh.doc_id
-    )
-    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-           CAST(n_dup AS BIGINT) AS n_dup_shingles,
-           ROUND(n_dup / n_shingles, 4) AS dup_fraction
-    FROM per_doc ORDER BY doc_id
-    """,
-)
-def text_dup_ngram_stats(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents")
+    )"""
+
+
+def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``ngram_dup_sql``: (doc_id, n_shingles, n_dup) for docs
+    with ≥ N words; one groupBy(shingle) shuffle with map-side combine +
+    one broadcast-able shared-shingle join — no all-pairs anywhere."""
     words = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= _NGRAM_N)
@@ -456,10 +457,25 @@ def text_dup_ngram_stats(spark, sf_dir):
         .select("s")
     )
     flagged = sh.join(shared.withColumn("__dup", F.lit(1)), "s", "left")
-    per_doc = flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup"),
     )
+
+
+@register(
+    "text_dup_ngram_stats",
+    oracle=f"""
+    WITH {ngram_dup_sql("documents")}
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup_shingles,
+           ROUND(n_dup / n_shingles, 4) AS dup_fraction
+    FROM nd_per_doc ORDER BY doc_id
+    """,
+)
+def text_dup_ngram_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = ngram_dup_stats_df(docs)
     return per_doc.select(
         "doc_id",
         F.col("n_shingles").cast("long"),

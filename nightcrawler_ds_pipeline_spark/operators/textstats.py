@@ -272,6 +272,108 @@ _G_MAX_ELLIPSIS = 0.30
 _G_MIN_STOP_HITS = 2
 
 
+def gopher_sql_metrics(w: str = "w", lines: str = "lines") -> dict[str, str]:
+    """DuckDB expression strings for each Gopher metric over a word-array
+    column ``w`` and a line-array column ``lines`` — the ONE definition both
+    the standalone ``text_gopher_rules`` oracle and the curation-chain
+    oracle embed, so the two can never drift."""
+    stop = " + ".join(
+        f"(CASE WHEN list_contains({w}, '{sw}') THEN 1 ELSE 0 END)"
+        for sw in _GOPHER_STOPWORDS
+    )
+    return {
+        "n_words": f"len({w})",
+        "mean_word_len": (
+            f"CASE WHEN len({w}) > 0 THEN "
+            f"list_sum(list_transform({w}, x -> len(x))) * 1.0 / len({w}) END"
+        ),
+        "frac_alpha_words": (
+            f"CASE WHEN len({w}) > 0 THEN "
+            f"len(list_filter({w}, x -> regexp_matches(x, '[a-z]')))"
+            f" * 1.0 / len({w}) END"
+        ),
+        "frac_bullet_lines": (
+            f"len(list_filter({lines}, x -> regexp_matches(trim(x), '^([-*•])')))"
+            f" * 1.0 / len({lines})"
+        ),
+        "frac_ellipsis_lines": (
+            f"len(list_filter({lines}, x -> trim(x) LIKE '%...'))"
+            f" * 1.0 / len({lines})"
+        ),
+        "stop_hits": f"({stop})",
+    }
+
+
+def gopher_keep_sql(
+    min_stop_hits: int = _G_MIN_STOP_HITS,
+    n="n_words",
+    mwl="mean_word_len",
+    fa="frac_alpha_words",
+    fb="frac_bullet_lines",
+    fe="frac_ellipsis_lines",
+    sh="stop_hits",
+) -> str:
+    """The Gopher keep predicate over (named) UNROUNDED metric columns."""
+    return (
+        f"({n} BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}"
+        f" AND {mwl} BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}"
+        f" AND {fa} >= {_G_MIN_ALPHA}"
+        f" AND {fb} <= {_G_MAX_BULLET}"
+        f" AND {fe} <= {_G_MAX_ELLIPSIS}"
+        f" AND {sh} >= {min_stop_hits})"
+    )
+
+
+def gopher_metric_cols(w, lines) -> dict:
+    """Spark Columns for each Gopher metric (UNROUNDED), given a word-array
+    Column ``w`` and a line-array Column ``lines`` — mirror of
+    ``gopher_sql_metrics``."""
+    nw = F.size(w)
+    nl = F.size(lines)
+    stop_hits = F.lit(0)
+    for sw in _GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(F.array_contains(w, sw), 1).otherwise(0)
+    return {
+        "n_words": nw,
+        "mean_word_len": F.when(
+            nw > 0,
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+            )
+            * 1.0
+            / nw,
+        ),
+        "frac_alpha_words": F.when(
+            nw > 0, F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) * 1.0 / nw
+        ),
+        "frac_bullet_lines": (
+            F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•])")))
+            * 1.0
+            / nl
+        ),
+        "frac_ellipsis_lines": (
+            F.size(F.filter(lines, lambda x: F.trim(x).endswith("...")))
+            * 1.0
+            / nl
+        ),
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_keep_col(m: dict, min_stop_hits: int = _G_MIN_STOP_HITS):
+    """The keep predicate as a Column over ``gopher_metric_cols`` output."""
+    return (
+        m["n_words"].between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & m["mean_word_len"].between(_G_MIN_MWL, _G_MAX_MWL)
+        & (m["frac_alpha_words"] >= _G_MIN_ALPHA)
+        & (m["frac_bullet_lines"] <= _G_MAX_BULLET)
+        & (m["frac_ellipsis_lines"] <= _G_MAX_ELLIPSIS)
+        & (m["stop_hits"] >= min_stop_hits)
+    )
+
+
+_GOPHER_SQL_M = gopher_sql_metrics()
+
 @register(
     "text_gopher_rules",
     oracle=f"""
@@ -284,20 +386,12 @@ _G_MIN_STOP_HITS = 2
     ),
     m AS (
       SELECT doc_id,
-             len(w) AS n_words,
-             CASE WHEN len(w) > 0
-                  THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
-             END AS mean_word_len,
-             CASE WHEN len(w) > 0
-                  THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-                       * 1.0 / len(w)
-             END AS frac_alpha_words,
-             len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•])')))
-               * 1.0 / len(lines) AS frac_bullet_lines,
-             len(list_filter(lines, x -> trim(x) LIKE '%...'))
-               * 1.0 / len(lines) AS frac_ellipsis_lines,
-             ({" + ".join(f"(CASE WHEN list_contains(w, '{sw}') THEN 1 ELSE 0 END)" for sw in _GOPHER_STOPWORDS)})
-               AS stop_hits
+             {_GOPHER_SQL_M["n_words"]} AS n_words,
+             {_GOPHER_SQL_M["mean_word_len"]} AS mean_word_len,
+             {_GOPHER_SQL_M["frac_alpha_words"]} AS frac_alpha_words,
+             {_GOPHER_SQL_M["frac_bullet_lines"]} AS frac_bullet_lines,
+             {_GOPHER_SQL_M["frac_ellipsis_lines"]} AS frac_ellipsis_lines,
+             {_GOPHER_SQL_M["stop_hits"]} AS stop_hits
       FROM base
     )
     SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -306,12 +400,7 @@ _G_MIN_STOP_HITS = 2
            ROUND(frac_bullet_lines, 4) AS frac_bullet_lines,
            ROUND(frac_ellipsis_lines, 4) AS frac_ellipsis_lines,
            CAST(stop_hits AS BIGINT) AS stop_hits,
-           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
-            AND mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
-            AND frac_alpha_words >= {_G_MIN_ALPHA}
-            AND frac_bullet_lines <= {_G_MAX_BULLET}
-            AND frac_ellipsis_lines <= {_G_MAX_ELLIPSIS}
-            AND stop_hits >= {_G_MIN_STOP_HITS}) AS keep
+           {gopher_keep_sql()} AS keep
     FROM m ORDER BY doc_id
     """,
 )
@@ -322,55 +411,15 @@ def text_gopher_rules(spark, sf_dir):
     )
     lines = F.split("text", "\n")
     base = docs.select("doc_id", w.alias("w"), lines.alias("lines"))
-    nw = F.size("w")
-    nl = F.size("lines")
-    mean_wl = F.when(
-        nw > 0,
-        F.aggregate(
-            F.transform("w", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-        )
-        * 1.0
-        / nw,
-    )
-    frac_alpha = F.when(
-        nw > 0, F.size(F.filter("w", lambda x: x.rlike("[a-z]"))) * 1.0 / nw
-    )
-    frac_bullet = (
-        F.size(F.filter("lines", lambda x: F.trim(x).rlike(r"^([-*•])")))
-        * 1.0
-        / nl
-    )
-    frac_ellipsis = (
-        F.size(F.filter("lines", lambda x: F.trim(x).endswith("...")))
-        * 1.0
-        / nl
-    )
-    stop_hits = F.lit(0)
-    for sw in _GOPHER_STOPWORDS:
-        stop_hits = stop_hits + F.when(F.array_contains("w", sw), 1).otherwise(0)
-    m = base.select(
+    m = gopher_metric_cols(F.col("w"), F.col("lines"))
+    out = base.select(
         "doc_id",
-        nw.cast("long").alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(frac_alpha, 4).alias("frac_alpha_words"),
-        F.round(frac_bullet, 4).alias("frac_bullet_lines"),
-        F.round(frac_ellipsis, 4).alias("frac_ellipsis_lines"),
-        stop_hits.cast("long").alias("stop_hits"),
-        mean_wl.alias("__mwl"),
-        frac_alpha.alias("__fa"),
-        frac_bullet.alias("__fb"),
-        frac_ellipsis.alias("__fe"),
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(m["frac_alpha_words"], 4).alias("frac_alpha_words"),
+        F.round(m["frac_bullet_lines"], 4).alias("frac_bullet_lines"),
+        F.round(m["frac_ellipsis_lines"], 4).alias("frac_ellipsis_lines"),
+        m["stop_hits"].cast("long").alias("stop_hits"),
+        gopher_keep_col(m).alias("keep"),
     )
-    keep = (
-        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
-        & F.col("__mwl").between(_G_MIN_MWL, _G_MAX_MWL)
-        & (F.col("__fa") >= _G_MIN_ALPHA)
-        & (F.col("__fb") <= _G_MAX_BULLET)
-        & (F.col("__fe") <= _G_MAX_ELLIPSIS)
-        & (F.col("stop_hits") >= _G_MIN_STOP_HITS)
-    )
-    return (
-        m.withColumn("keep", keep)
-        .drop("__mwl", "__fa", "__fb", "__fe")
-        .orderBy("doc_id")
-    )
+    return out.orderBy("doc_id")

@@ -128,6 +128,30 @@ def test_filter_unseen_probe_modes_agree(spark):
     assert co.exceptAll(bc).count() == 0 and bc.exceptAll(co).count() == 0
 
 
+def test_filter_unseen_cuckoo_rejects_broadcast_probe(spark):
+    """The diagnostic broadcast probe exists only for the Bloom — combining
+    it with sketch='cuckoo' must fail loudly, not silently fall back."""
+    import pytest
+
+    from nightcrawler_ds_pipeline_spark.crawl.seen import build_cuckoo_partitions
+
+    all_keys = spark.range(0, 500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    seen = all_keys.filter(F.col("url_hash") % 2 == 0)
+    sketch = build_cuckoo_partitions(seen, num_partitions=4)
+    with pytest.raises(ValueError, match="copartition"):
+        filter_unseen(
+            spark,
+            all_keys,
+            seen,
+            sketch,
+            num_partitions=4,
+            probe="broadcast",
+            sketch="cuckoo",
+        )
+
+
 def test_bloom_modulus_mismatch_fails_loudly(spark):
     """A probe with a different bloom_partitions than the stored sketches
     would silently produce false negatives (duplicate crawls) — both probe
