@@ -149,3 +149,63 @@ def test_bloom_rebuilt_after_gap_iteration(spark, tmp_path, t1_dir):
                           bloom_min_seen=0))
     assert _final_state(spark, cat) == _final_state(spark, pure)
     assert cat.latest_iter("bloom") == cat.latest_iter("seen")
+
+
+def test_schema_evolution_across_resume(spark, tmp_path):
+    """A crash straddling a schema-widening commit must roll back and roll
+    forward consistently: the orphan wide snapshot disappears, committed
+    wide snapshots keep their new column, and pre-widening rows read NULL
+    for it (the Iceberg add-column + snapshot-rollback combination;
+    previously evolution and rollback_above were only tested separately)."""
+    cat = SnapshotCatalog(str(tmp_path / "evo"))
+
+    def lineage_commit(it):
+        row = spark.range(1).select(F.lit(it).cast("int").alias("iter"))
+        cat.write(row, "lineage", mode="append", meta={"iter": it})
+
+    narrow = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("v0").alias("val")
+    )
+    cat.write(narrow, "data", mode="append", meta={"iter": 0})
+    lineage_commit(0)
+
+    # committed schema-widening append (new column 'score')
+    wide1 = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("v1").alias("val"),
+        F.lit(1.5).alias("score"),
+    )
+    cat.write(wide1, "data", mode="append", meta={"iter": 1})
+    lineage_commit(1)
+
+    # crash: iteration-2 wide append lands, its lineage finalizer does not
+    orphan = spark.range(5, 9).select(
+        F.col("id").alias("k"), F.lit("orphan").alias("val"),
+        F.lit(9.9).alias("score"),
+    )
+    cat.write(orphan, "data", mode="append", meta={"iter": 2})
+
+    committed = cat.latest_iter("lineage")
+    assert committed == 1
+    cat.rollback_above(committed)
+
+    rows = {
+        r["k"]: (r["val"], r["score"])
+        for r in cat.read(spark, "data", merge_schema=True).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}          # orphan physically gone
+    assert rows[0] == ("v0", None)               # old rows: NULL new column
+    assert rows[3] == ("v1", 1.5)                # committed wide rows intact
+
+    # roll forward: re-run "iteration 2" post-resume and commit it
+    redo = spark.range(5, 7).select(
+        F.col("id").alias("k"), F.lit("v2").alias("val"),
+        F.lit(2.5).alias("score"),
+    )
+    cat.write(redo, "data", mode="append", meta={"iter": 2})
+    lineage_commit(2)
+    after = cat.read(spark, "data", merge_schema=True)
+    assert after.count() == 7
+    # incremental consumers see only the committed wide delta
+    delta = cat.read_incremental(spark, "data", after_iter=1, merge_schema=True)
+    assert sorted(r["k"] for r in delta.collect()) == [5, 6]
+    assert set(delta.columns) == {"k", "val", "score"}
