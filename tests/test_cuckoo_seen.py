@@ -117,7 +117,7 @@ def test_crawl_loop_cuckoo_matches_bloom(spark, t1_dir, tmp_path):
     assert cc.read(spark, "bloom") is None
 
 
-def _build_pingpong_dir(tmp_path):
+def _build_pingpong_dir(tmp_path, delay_a_ms=0, delay_b_ms=0):
     """Two URLs that link to each other (A seeds, A→B, B→A) — the minimal
     TTL re-crawl universe, mirroring tests/test_ttl_recrawl.py."""
     from tests.test_ttl_recrawl import URL_A, URL_B
@@ -150,9 +150,9 @@ def _build_pingpong_dir(tmp_path):
 
     responses = pd.DataFrame([resp(URL_A, 0, [URL_B]), resp(URL_B, 1, [URL_A])])
     robots = pd.DataFrame(
-        [{"host": "a.example.ch", "crawl_delay_ms": 0,
+        [{"host": "a.example.ch", "crawl_delay_ms": delay_a_ms,
           "disallow_prefixes": [], "fetched_at_iter": 0},
-         {"host": "b.example.com", "crawl_delay_ms": 0,
+         {"host": "b.example.com", "crawl_delay_ms": delay_b_ms,
           "disallow_prefixes": [], "fetched_at_iter": 0}]
     )
     robots["crawl_delay_ms"] = robots["crawl_delay_ms"].astype("int32")
@@ -270,3 +270,34 @@ def test_cuckoo_rebuilds_when_ttl_config_changes_on_resume(spark, tmp_path):
     assert sorted(
         r["iter"] for r in results.filter(results.url == URL_A).collect()
     ) == [0]
+
+
+def test_accrual_iteration_skips_unchanged_cuckoo_write(spark, tmp_path):
+    """ADVICE r3: with sketch='cuckoo' and no TTL, a token-starved (accrual)
+    iteration used to rewrite the unchanged 256-partition sketch snapshot
+    every time. The guard skips the write when no deletions were applied
+    and no rebuild happened — and the stored sketch must stay valid (no
+    rebuild, no duplicate crawl) when tokens finally accrue."""
+    # host B's crawl_delay (18 s) exceeds the window (10 s): B is
+    # discovered at iter 0 but only dequeues once two windows have accrued
+    fx = _build_pingpong_dir(tmp_path, delay_a_ms=0, delay_b_ms=18_000)
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cfg = CrawlConfig(iterations=4, max_per_host=10, window_ms=10_000,
+                      sketch="cuckoo", bloom_min_seen=0)
+    summary = run_crawl(spark, cat, fx, cfg)
+    dequeued = [i["dequeued"] for i in summary["iterations"]]
+    assert dequeued[0] == 1                      # A
+    assert any(d == 0 for d in dequeued[1:])     # at least one accrual iter
+    assert sum(dequeued) == 2                    # ... and B exactly once
+    accrual_iters = {
+        i["iter"] for i in summary["iterations"] if i["dequeued"] == 0
+    }
+    sketch_iters = [
+        s["meta"].get("iter") for s in cat._load_manifest("cuckoo")
+    ]
+    assert not (set(sketch_iters) & accrual_iters), (
+        f"accrual iterations {accrual_iters} wrote cuckoo snapshots "
+        f"{sketch_iters}"
+    )
+    res = cat.read(spark, "results")
+    assert res.select("url_hash").distinct().count() == 2
