@@ -39,6 +39,9 @@ HEADLINE = [
     "text_token_counts",
     "text_lang_quality",
     "robots_parse",
+    # round 4: the flagship end-to-end curation chain (lang → quality →
+    # Gopher → exact dedup → span-dup gate → LSH → CC); ~10-16 s at sf0.1
+    "corpus_curation",
 ]
 
 
