@@ -437,19 +437,33 @@ def ngram_dup_sql(src: str, prefix: str = "nd") -> str:
 def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
     """Spark twin of ``ngram_dup_sql``: (doc_id, n_shingles, n_dup) for docs
     with ≥ N words; one groupBy(shingle) shuffle with map-side combine +
-    one broadcast-able shared-shingle join — no all-pairs anywhere."""
+    one broadcast-able shared-shingle join — no all-pairs anywhere.
+
+    The shingle is xxhash64'd BEFORE the first shuffle: an 8-gram string
+    averages ~50 bytes and the explode multiplies corpus bytes ~8×, so at
+    the 10^10-doc point the distinct+groupBy would otherwise shuffle close
+    to an order of magnitude more than the input corpus; the 8-byte key
+    cuts that ~6×. Counts are identical to the oracle's string-keyed
+    arithmetic unless two DIFFERENT shingles collide in 64 bits (~2^-64
+    per pair — the same accepted risk as the seen-set key)."""
     words = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= _NGRAM_N)
-    sh = words.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
-                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, _NGRAM_N)),
-            )
-        ).alias("s"),
-    ).distinct()
+    sh = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i + 1, _NGRAM_N)
+                    ),
+                )
+            ).alias("s_raw"),
+        )
+        .select("doc_id", F.xxhash64("s_raw").alias("s"))
+        .distinct()
+    )
     shared = (
         sh.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("nd"))
