@@ -60,30 +60,55 @@ def image_phash_dedup(spark, sf_dir):
     )
 
 
-# near-dup via hamming-band self-join: band on the top 16 bits of phash,
-# confirm with bit_count(xor) ≤ 6 — the banded form scales (band equi-join
-# instead of all-pairs).
-def image_phash_neardup(spark, sf_dir):
+# near-dup via the Manku et al. (WWW'07, "Detecting near-duplicates for web
+# crawling") block-permutation scheme: split the 64-bit phash into 8 blocks
+# of 8 bits and key candidates on every C(8,2)=28 ordered block-pair (a
+# 16-bit key per combo). A pair within hamming ≤ 6 touches ≤ 6 blocks, so
+# ≥ 2 blocks are identical and at least one of the 28 combos matches —
+# recall is COMPLETE for the ≤ 6 threshold (the old single-band top-16-bit
+# key missed pairs whose differing bits fell in the key band). Confirm with
+# JVM-side bit_count(xor). Still pure equi-joins: 28× exploded rows, 2^16
+# key space → ~28·N²/2^16 spurious candidates on random hashes, distinct'd
+# before the hamming confirm. Pigeonhole completeness is pytest-pinned
+# against all-pairs brute force (test_components).
+def image_phash_neardup(spark, sf_dir, max_hamming: int = 6):
     from nightcrawler_ds_pipeline_spark.functions.image_udfs import hamming64_col
 
     imgs = _images(spark).filter(F.col("phash") != 0)
+    blocks = [
+        F.shiftrightunsigned("phash", 8 * i).bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    combos = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            combos.append(
+                F.struct(
+                    F.lit(len(combos)).alias("combo"),
+                    (blocks[i] * 256 + blocks[j]).cast("int").alias("key"),
+                )
+            )
     banded = imgs.select(
-        "image_id", "phash", F.shiftright("phash", 48).alias("band")
-    )
+        "image_id", "phash", F.explode(F.array(*combos)).alias("bk")
+    ).select("image_id", "phash", F.col("bk.combo").alias("combo"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.combo") == F.col("b.combo"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.image_id") < F.col("b.image_id")),
         )
-        .withColumn("hamming", hamming64_col(F.col("a.phash"), F.col("b.phash")))
-        .filter(F.col("hamming") <= 6)
         .select(
             F.col("a.image_id").alias("id_a"),
             F.col("b.image_id").alias("id_b"),
-            F.col("hamming").cast("int").alias("hamming"),
+            F.col("a.phash").alias("phash_a"),
+            F.col("b.phash").alias("phash_b"),
         )
+        .distinct()  # same pair can match several combos (hamming-0 dups match all 28)
+        .withColumn("hamming", hamming64_col(F.col("phash_a"), F.col("phash_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
 

@@ -114,6 +114,40 @@ def test_phash_groups_cluster_planted_dups(spark):
     assert all(gid == min(m) for gid, m in groups.items())
 
 
+def test_phash_neardup_banding_complete(spark):
+    """Pigeonhole completeness of the Manku 28-combo banding: the operator
+    must find EXACTLY the all-pairs brute-force hamming ≤ 6 set over the t1
+    image corpus (500 images, planted exact dups). The pre-round-4
+    single-band (top-16-bit) key would fail this: any pair differing inside
+    the key band was silently dropped."""
+    from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
+    from nightcrawler_ds_pipeline_spark.operators.multimodal import (
+        image_phash_neardup,
+    )
+
+    fx = write_fixture_parquet("t1")
+    rows = (
+        spark.read.parquet(f"{fx}/images.parquet")
+        .select("image_id", "phash")
+        .where(F.col("phash") != 0)
+        .collect()
+    )
+    ph = [(r["image_id"], r["phash"] & 0xFFFFFFFFFFFFFFFF) for r in rows]
+    expect = set()
+    for i in range(len(ph)):
+        for j in range(i + 1, len(ph)):
+            d = bin(ph[i][1] ^ ph[j][1]).count("1")
+            if d <= 6:
+                pa, pb = sorted((ph[i][0], ph[j][0]))
+                expect.add((pa, pb, d))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_phash_neardup(spark, None).collect()
+    }
+    assert expect, "fixture must plant at least one near-dup pair"
+    assert got == expect
+
+
 def test_cc_hypothesis_random_graphs(spark):
     """Property: CC labels equal union-find min-labels on arbitrary edge
     lists (hypothesis-driven, deterministic derandomized profile)."""
