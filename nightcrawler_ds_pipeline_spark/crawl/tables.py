@@ -64,8 +64,16 @@ class SnapshotCatalog:
         mode: str = "append",
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
-        """Stage parquet for ``df`` then atomically commit a snapshot."""
+        """Stage parquet for ``df`` then atomically commit a snapshot.
+
+        ``stats_cols`` opts the snapshot into manifest-level column stats
+        (the Iceberg manifest min/max analogue): after the write, per-column
+        global min/max are harvested from the already-written parquet
+        FOOTERS (pyarrow metadata only — no data scan, no extra Spark job)
+        and stored in the manifest entry, enabling snapshot-level pruning in
+        ``read(prune=...)``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"bad mode {mode!r}")
         tdir = self._table_dir(table)
@@ -77,9 +85,12 @@ class SnapshotCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        snapshots.append(
-            {"id": snap_id, "dir": data_dir, "mode": mode, "meta": meta or {}}
-        )
+        entry = {"id": snap_id, "dir": data_dir, "mode": mode, "meta": meta or {}}
+        if stats_cols:
+            stats = _footer_stats(data_dir, stats_cols)
+            if stats:
+                entry["stats"] = stats
+        snapshots.append(entry)
         self._commit_manifest(table, snapshots)
         return snap_id
 
@@ -115,6 +126,8 @@ class SnapshotCatalog:
         table: str,
         max_iter: int | None = None,
         merge_schema: bool = False,
+        as_of: int | None = None,
+        prune: tuple | None = None,
     ) -> DataFrame | None:
         """Union of live snapshots: everything since the last overwrite,
         optionally restricted to snapshots with ``meta['iter'] <= max_iter``
@@ -125,8 +138,23 @@ class SnapshotCatalog:
         schema union cleanly, old rows read NULL for the new columns.
         Off by default — the footer-merge pass costs one extra file
         round per read, and the crawl loop's own tables have fixed
-        schemas within a run."""
+        schemas within a run.
+
+        ``as_of`` is snapshot-id time travel (Iceberg ``VERSION AS OF``):
+        the live set is computed as if no snapshot with ``id > as_of`` had
+        ever been committed — an overwrite or compaction after that point
+        is invisible.
+
+        ``prune=(col, lo, hi)`` is manifest-level scan pruning (the Iceberg
+        metadata-pruning analogue): live snapshots whose stored footer
+        min/max for ``col`` (see ``write(stats_cols=...)``) provably miss
+        the ``[lo, hi]`` window (either bound may be None = unbounded) are
+        dropped WITHOUT opening their files. Snapshots without stats for
+        ``col`` are conservatively kept. Returns None when every live
+        snapshot prunes away."""
         snaps = self._load_manifest(table)
+        if as_of is not None:
+            snaps = [s for s in snaps if s["id"] <= as_of]
         if max_iter is not None:
             snaps = [s for s in snaps if s["meta"].get("iter", -1) <= max_iter]
         if not snaps:
@@ -137,6 +165,11 @@ class SnapshotCatalog:
                 live = [s]
             else:
                 live.append(s)
+        if prune is not None:
+            col, lo, hi = prune
+            live = [s for s in live if _stats_may_match(s, col, lo, hi)]
+            if not live:
+                return None
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -221,6 +254,70 @@ class SnapshotCatalog:
         if os.path.exists(tdir):
             shutil.rmtree(tdir)
 
+    def expire_snapshots(self, table: str, keep_from_id: int | None = None) -> int:
+        """Drop snapshots superseded by a later overwrite (the Iceberg
+        ``expire_snapshots`` analogue): manifest entries that no current
+        read path can reach — every snapshot before the last overwrite —
+        are removed and their data dirs deleted. ``keep_from_id`` retains
+        superseded snapshots with ``id >= keep_from_id`` so time travel
+        (``read(as_of=...)``) keeps working back to that point; the default
+        expires all of them (trading time travel below the overwrite for
+        reclaimed disk, same trade as ``compact(vacuum=True)``). Live
+        snapshots are never touched. Returns the number expired.
+
+        A later ``rollback_above`` below the overwrite's iteration cannot
+        re-expose expired snapshots — run expiration only on lineage-
+        committed history (the crawl loop's finalized iterations)."""
+        snaps = self._load_manifest(table)
+        live: list[dict] = []
+        for s in snaps:
+            live = [s] if s["mode"] == "overwrite" else live + [s]
+        live_ids = {s["id"] for s in live}
+
+        def _expired(s: dict) -> bool:
+            return s["id"] not in live_ids and (
+                keep_from_id is None or s["id"] < keep_from_id
+            )
+
+        dead = [s for s in snaps if _expired(s)]
+        if not dead:
+            return 0
+        self._commit_manifest(table, [s for s in snaps if not _expired(s)])
+        for s in dead:
+            shutil.rmtree(s["dir"], ignore_errors=True)
+        return len(dead)
+
+    def remove_orphans(self, table: str, grace_s: float = 3600.0) -> int:
+        """Delete ``snap-*`` data dirs not referenced by the manifest (the
+        Iceberg ``remove_orphan_files`` analogue). Orphans accrue from two
+        real paths: ``rollback_above`` (drops manifest entries, keeps dirs)
+        and a writer that crashed after staging parquet but before its
+        manifest commit. ``grace_s`` skips dirs younger than the grace
+        window so an IN-FLIGHT writer's staging dir is never swept — same
+        caveat as Iceberg's ``older_than`` retention (pass 0 only when no
+        writer can be active). Returns the number of dirs removed."""
+        import time as _time
+
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return 0
+        referenced = {
+            os.path.basename(s["dir"]) for s in self._load_manifest(table)
+        }
+        now = _time.time()
+        removed = 0
+        for name in os.listdir(tdir):
+            path = os.path.join(tdir, name)
+            if (
+                name.startswith("snap-")
+                and os.path.isdir(path)
+                and name not in referenced
+                and now - os.path.getmtime(path) >= grace_s
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        return removed
+
     def compact(
         self,
         spark: SparkSession,
@@ -269,6 +366,58 @@ class SnapshotCatalog:
             for s in dead:
                 shutil.rmtree(s["dir"], ignore_errors=True)
         return snap_id
+
+
+def _footer_stats(data_dir: str, cols: list[str]) -> dict:
+    """Global min/max per requested column, harvested from parquet footer
+    row-group statistics (pyarrow metadata — never reads data pages).
+    Columns with any stat-less row group, or with non-JSON-scalar stat
+    values (e.g. timestamps, binary), are omitted — pruning treats a
+    missing column as "may match" so omission is always safe."""
+    import pyarrow.parquet as pq
+
+    mins: dict = {}
+    maxs: dict = {}
+    bad: set = set()
+    wanted = set(cols)
+    for root_, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root_, fn)).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name not in wanted or name in bad:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (bool, int, float, str))
+                        or not isinstance(st.max, (bool, int, float, str))
+                    ):
+                        bad.add(name)
+                        continue
+                    mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                    maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    return {c: [mins[c], maxs[c]] for c in mins if c not in bad and c in maxs}
+
+
+def _stats_may_match(snap: dict, col: str, lo, hi) -> bool:
+    """Conservative overlap test of a snapshot's stored [min, max] for
+    ``col`` against the [lo, hi] window; no stats → may match."""
+    st = (snap.get("stats") or {}).get(col)
+    if not st:
+        return True
+    mn, mx = st
+    if lo is not None and mx is not None and mx < lo:
+        return False
+    if hi is not None and mn is not None and mn > hi:
+        return False
+    return True
 
 
 class IcebergCatalog:  # pragma: no cover - requires iceberg jars
