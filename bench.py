@@ -42,6 +42,9 @@ HEADLINE = [
     # round 4: the flagship end-to-end curation chain (lang → quality →
     # Gopher → exact dedup → span-dup gate → LSH → CC); ~10-16 s at sf0.1
     "corpus_curation",
+    # round 4: the image-axis path — exact phash dedup + Manku 28-combo
+    # hamming-band near-dup + CC groups over the t1 image fixture
+    "image_phash_suite",
 ]
 
 
