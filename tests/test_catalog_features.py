@@ -120,3 +120,21 @@ def test_stats_pruning_conservative_without_stats(spark, cat):
     cat.write(_df(spark, 0, 10, "a"), "t", mode="append")
     cat.write(_df(spark, 1000, 1010, "b"), "t", mode="append", stats_cols=["id"])
     assert cat.read(spark, "t", prune=("id", 5000, None)).count() == 10
+
+
+def test_stats_cols_with_partition_by_degrades_safely(spark, cat):
+    # a partitionBy column lives in directory names, not parquet footers:
+    # its stats must be OMITTED (not fabricated) and pruning on it must
+    # conservatively keep the snapshot; a real data column still prunes
+    cat.write(
+        _df(spark, 0, 100, "a"),
+        "t",
+        mode="append",
+        partition_by=["tag"],
+        stats_cols=["id", "tag"],
+    )
+    snap = cat.snapshots("t")[0]
+    assert "tag" not in snap.get("stats", {})
+    assert snap["stats"]["id"] == [0, 99]
+    assert cat.read(spark, "t", prune=("tag", "zzz", None)).count() == 100
+    assert cat.read(spark, "t", prune=("id", 5000, None)) is None
