@@ -1,0 +1,104 @@
+"""Streaming image ingest — the crawl loop's decode→phash→dedup stage as a
+Structured Streaming flow (the pyspark × image tie-in of the graft axes).
+
+Pipeline: ``readStream`` over binary image rows → Arrow-batched
+``mapInPandas`` decode (the SAME ``decode_images`` the batch loop uses —
+payload bytes cross the Arrow boundary once and the output schema excludes
+them) → optional stream-static equi-join against a HISTORY phash table
+(static small side, re-looked-up per micro-batch) → per-phash
+``applyInPandasWithState`` that flags ``is_phash_dup`` with exactly the
+batch loop's ``_phash_dedup`` semantics (crawl/loop.py:136): a row is a
+dup iff its decoded phash is in history, was seen in an earlier
+micro-batch, or appears earlier (by image_id order) in the same
+micro-batch.
+
+Corrupt/imageless rows (``decode_ok=False``, phash 0) bypass the stateful
+operator entirely: in the batch loop they would pile into one hot window
+partition; here they would pile into ONE group-state key. Their
+``is_phash_dup`` is False by definition, same as batch.
+
+State is one boolean per distinct phash. At 10^10 images the state store
+holds every phash ever seen — a real deployment bounds it the same way
+the batch loop bounds the seen set (TTL eviction via GroupStateTimeout,
+or a sketch pre-filter in front); fixture-scale tests keep NoTimeout.
+Micro-batch equality with the batch reference is pinned in
+tests/test_streaming_image_ingest.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "image_id string, fmt string, phash_decoded long, "
+    "in_history boolean, is_phash_dup boolean"
+)
+STATE_SCHEMA = "seen boolean"
+
+
+def streaming_image_ingest(
+    image_stream: DataFrame,
+    history_phash: DataFrame | None = None,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """``image_stream`` columns: at least (image_id, <bytes_col>, fmt).
+    ``history_phash``: a STATIC DataFrame with a ``phash`` column (e.g.
+    ``catalog.read(spark, "results").select("phash")``). Returns an append
+    stream of (image_id, fmt, phash_decoded, in_history, is_phash_dup)."""
+    from nightcrawler_ds_pipeline_spark.functions.image_udfs import decode_images
+
+    decoded = decode_images(image_stream, bytes_col=bytes_col)
+    gate = F.col("decode_ok") & (F.col("phash_decoded") != 0)
+    ok = decoded.filter(gate)
+    rest = (
+        decoded.filter(~gate)
+        .withColumn("in_history", F.lit(False))
+        .withColumn("is_phash_dup", F.lit(False))
+        .select(
+            "image_id", "fmt", "phash_decoded", "in_history", "is_phash_dup"
+        )
+    )
+    if history_phash is not None:
+        hist = (
+            history_phash.select(F.col("phash").alias("phash_decoded"))
+            .filter(F.col("phash_decoded") != 0)
+            .distinct()
+            .withColumn("in_history", F.lit(True))
+        )
+        ok = ok.join(hist, "phash_decoded", "left").withColumn(
+            "in_history", F.coalesce(F.col("in_history"), F.lit(False))
+        )
+    else:
+        ok = ok.withColumn("in_history", F.lit(False))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("image_id")
+        if not len(pdf):
+            return
+        seen = bool(state.get[0]) if state.exists else False
+        # in_history is an equi-join on the group key → constant per group
+        base_dup = seen or bool(pdf["in_history"].iloc[0])
+        flags = [True] * len(pdf)
+        if not base_dup:
+            flags[0] = False  # first occurrence (by image_id) is the keeper
+        pdf["is_phash_dup"] = flags
+        state.update((True,))
+        yield pdf[
+            ["image_id", "fmt", "phash_decoded", "in_history", "is_phash_dup"]
+        ]
+
+    flagged = ok.groupBy("phash_decoded").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return flagged.unionByName(rest)

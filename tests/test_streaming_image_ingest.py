@@ -1,0 +1,114 @@
+"""Streaming image ingest (decode → phash → stateful dedup flag) must
+equal the batch loop's `_phash_dedup` semantics micro-batch-for-micro-batch:
+a row is a dup iff its decoded phash is in the static history, was seen in
+an earlier micro-batch, or appears earlier (by image_id) in the same
+micro-batch. Corrupt rows bypass the stateful operator with dup=False."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nightcrawler_ds_pipeline_spark.fixtures.generate import gen_images_pdf
+from nightcrawler_ds_pipeline_spark.streaming import streaming_image_ingest
+
+SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def _reference(batches: list[pd.DataFrame], history: set) -> dict:
+    """Pure-python twin: {image_id: (in_history, is_phash_dup)}."""
+    out = {}
+    seen = set()
+    for pdf in batches:
+        for _, row in pdf.sort_values("image_id").iterrows():
+            ph = int(row["phash"])
+            if ph == 0:
+                out[row["image_id"]] = (False, False)
+                continue
+            inh = ph in history
+            out[row["image_id"]] = (inh, inh or ph in seen)
+            seen.add(ph)
+    return out
+
+
+def test_streaming_ingest_matches_batch_semantics(spark, tmp_path):
+    # 120 fixture images: exact dups at i=57,107; corrupt at i=13,113
+    full = gen_images_pdf(120)
+    batches = [full.iloc[:60].copy(), full.iloc[60:].copy()]
+    # static history: the phashes of the first two images
+    hist_phs = {int(full["phash"].iloc[0]), int(full["phash"].iloc[1])}
+    history = spark.createDataFrame(
+        [(p,) for p in hist_phs], "phash long"
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    out = streaming_image_ingest(stream, history_phash=history)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("img_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for i, pdf in enumerate(batches):
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                str(src / f"batch{i}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM img_ingest").collect()
+    got = {r["image_id"]: (r["in_history"], r["is_phash_dup"]) for r in rows}
+    expect = _reference(batches, hist_phs)
+    assert len(rows) == 120  # every input row exactly once
+    assert got == expect
+    # the scenario actually exercises every path:
+    n_dup = sum(1 for _, d in got.values() if d)
+    n_hist = sum(1 for h, _ in got.values() if h)
+    assert n_dup >= 4  # 2 planted dups + 2 history hits at minimum
+    assert n_hist == 2
+    corrupt = [full["image_id"].iloc[13], full["image_id"].iloc[113]]
+    assert all(got[c] == (False, False) for c in corrupt)
+    # decoded phash equals the stored truth for every ok row (same codec)
+    ph_by_id = {r["image_id"]: r["phash_decoded"] for r in rows}
+    truth = dict(zip(full["image_id"], full["phash"]))
+    ok_ids = [i for i in truth if i not in corrupt]
+    assert all(ph_by_id[i] == truth[i] for i in ok_ids)
+
+
+def test_streaming_ingest_no_history(spark, tmp_path):
+    full = gen_images_pdf(60)
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    out = streaming_image_ingest(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("img_ingest_nohist")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        pq.write_table(
+            pa.Table.from_pandas(full, preserve_index=False),
+            str(src / "b0.parquet"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM img_ingest_nohist").collect()
+    expect = _reference([full], set())
+    got = {r["image_id"]: (r["in_history"], r["is_phash_dup"]) for r in rows}
+    assert len(rows) == 60
+    assert got == expect
+    assert not any(h for h, _ in got.values())
+    # dup at i=57 flagged, its source not
+    assert sum(1 for _, d in got.values() if d) == 1
