@@ -83,6 +83,62 @@ def test_streaming_ingest_matches_batch_semantics(spark, tmp_path):
     assert all(ph_by_id[i] == truth[i] for i in ok_ids)
 
 
+def test_streaming_ingest_state_survives_restart(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the SAME
+    checkpoint: the per-phash state store must recover, so a phash first
+    seen before the crash still flags as dup after it — the streaming
+    analogue of the batch loop's crash-resume invariant (lineage +
+    rollback_above). The restarted query only emits the new batch
+    (committed offsets are not replayed)."""
+    full = gen_images_pdf(120)
+    batches = [full.iloc[:60].copy(), full.iloc[60:].copy()]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")  # file sink: the recoverable one
+
+    def run_one(i, pdf):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        out = streaming_image_ingest(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                str(src / f"batch{i}.parquet"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(sink).collect()
+
+    rows0 = run_one(0, batches[0])
+    rows_all = run_one(1, batches[1])
+    assert len(rows0) == 60
+    assert len(rows_all) == 120  # batch 1 appended, batch 0 NOT replayed
+    got = {
+        r["image_id"]: (r["in_history"], r["is_phash_dup"])
+        for r in rows_all
+    }
+    expect = _reference(batches, set())
+    assert got == expect
+    # the discriminating rows: batch-1 dups of batch-0 sources (i%50==7)
+    cross = [
+        full["image_id"].iloc[i]
+        for i in range(60, 120)
+        if int(full["phash"].iloc[i]) != 0
+        and int(full["phash"].iloc[i])
+        in set(full["phash"].iloc[:60].astype(int))
+    ]
+    assert cross, "fixture must plant at least one cross-restart dup"
+    assert all(got[c][1] for c in cross)
+
+
 def test_streaming_ingest_no_history(spark, tmp_path):
     full = gen_images_pdf(60)
     src = tmp_path / "src"
