@@ -45,11 +45,26 @@ def streaming_image_ingest(
     image_stream: DataFrame,
     history_phash: DataFrame | None = None,
     bytes_col: str = "bytes",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """``image_stream`` columns: at least (image_id, <bytes_col>, fmt).
     ``history_phash``: a STATIC DataFrame with a ``phash`` column (e.g.
     ``catalog.read(spark, "results").select("phash")``). Returns an append
-    stream of (image_id, fmt, phash_decoded, in_history, is_phash_dup)."""
+    stream of (image_id, fmt, phash_decoded, in_history, is_phash_dup).
+
+    ``ttl_ms``: optional state TTL — the streaming analogue of
+    ``CrawlConfig.ttl_iters`` AND the state-store bound from SCALE.md §4b:
+    a phash unseen for ttl_ms of processing time is evicted (its state
+    removed on the group's timeout callback), so the next occurrence is
+    re-admitted as a keeper, exactly like a TTL-expired seen-set entry
+    re-dequeues in the batch loop. Processing-time-based by necessity
+    (GroupStateTimeout is wall-clock; the injected-run-ts invariant applies
+    to the batch tables, not the stream clock). None = NoTimeout (state
+    grows with distinct phashes; fixture-scale and history-complete runs).
+    CAUTION: with ttl_ms set, drive the query with a periodic trigger and
+    poll the sink — ``processAllAvailable()`` never settles, because the
+    engine schedules continuous zero-data batches to fire timeouts.
+    """
     from nightcrawler_ds_pipeline_spark.functions.image_udfs import decode_images
 
     decoded = decode_images(image_stream, bytes_col=bytes_col)
@@ -79,6 +94,9 @@ def streaming_image_ingest(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # TTL eviction: the phash re-admits from now on
+            return
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("image_id")
         if not len(pdf):
             return
@@ -90,6 +108,8 @@ def streaming_image_ingest(
             flags[0] = False  # first occurrence (by image_id) is the keeper
         pdf["is_phash_dup"] = flags
         state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pdf[
             ["image_id", "fmt", "phash_decoded", "in_history", "is_phash_dup"]
         ]
@@ -99,6 +119,10 @@ def streaming_image_ingest(
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return flagged.unionByName(rest)

@@ -139,6 +139,144 @@ def test_streaming_ingest_state_survives_restart(spark, tmp_path):
     assert all(got[c][1] for c in cross)
 
 
+def _wait_rows(spark, table, n, deadline_s=90.0):
+    import time
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < deadline_s:
+        if spark.sql(f"SELECT count(*) AS n FROM {table}").collect()[0]["n"] >= n:
+            return
+        time.sleep(0.2)
+    raise AssertionError(f"{table} never reached {n} rows")
+
+
+def test_streaming_ingest_ttl_readmits(spark, tmp_path):
+    """ttl_ms is the streaming twin of CrawlConfig.ttl_iters: a phash whose
+    state outlives the TTL is evicted on a later (possibly zero-data)
+    micro-batch's timeout callback, and its NEXT occurrence is re-admitted
+    as a keeper, not a dup. With ProcessingTimeTimeout the engine schedules
+    continuous batches just to fire timeouts, so processAllAvailable never
+    settles — the test uses a periodic trigger + row-count polling."""
+    import time
+
+    full = gen_images_pdf(3)
+    a = full.iloc[[0]].copy()
+    a_dup = full.iloc[[0]].copy()
+    a_dup["image_id"] = "img_dup_of_0"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    out = streaming_image_ingest(stream, ttl_ms=500)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("img_ttl")
+        .trigger(processingTime="250 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        pq.write_table(
+            pa.Table.from_pandas(a, preserve_index=False),
+            str(src / "batch0.parquet"),
+        )
+        _wait_rows(spark, "img_ttl", 1)
+        time.sleep(3.0)  # > TTL: empty trigger batches evict A's state
+        pq.write_table(
+            pa.Table.from_pandas(a_dup, preserve_index=False),
+            str(src / "batch1.parquet"),
+        )
+        _wait_rows(spark, "img_ttl", 2)
+    finally:
+        q.stop()
+    got = {
+        r["image_id"]: r["is_phash_dup"]
+        for r in spark.sql("SELECT * FROM img_ttl").collect()
+    }
+    assert got[a["image_id"].iloc[0]] is False
+    # the dup arrives AFTER eviction → re-admitted, exactly like a
+    # TTL-expired seen-set entry re-dequeues in the batch loop
+    assert got["img_dup_of_0"] is False
+
+    # control: same two batches, no TTL → the dup IS flagged
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    stream2 = spark.readStream.schema(SCHEMA).parquet(str(src2))
+    out2 = streaming_image_ingest(stream2)
+    q2 = (
+        out2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("img_ttl_ctrl")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        for i, pdf in enumerate([a, a_dup]):
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                str(src2 / f"batch{i}.parquet"),
+            )
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+    ctrl = {
+        r["image_id"]: r["is_phash_dup"]
+        for r in spark.sql("SELECT * FROM img_ttl_ctrl").collect()
+    }
+    assert ctrl["img_dup_of_0"] is True
+
+
+def test_streaming_ingest_rocksdb_state(spark, tmp_path):
+    """SCALE.md §4b sizes the 10^10-phash state store for RocksDB — prove
+    the provider actually works in this env: same ingest, same results,
+    and the checkpoint's state dir carries RocksDB zip snapshots instead
+    of the default HDFS-backed .delta files."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        full = gen_images_pdf(60)
+        src = tmp_path / "src"
+        src.mkdir()
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        out = streaming_image_ingest(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("img_rocksdb")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            pq.write_table(
+                pa.Table.from_pandas(full, preserve_index=False),
+                str(src / "b0.parquet"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM img_rocksdb").collect()
+        got = {
+            r["image_id"]: (r["in_history"], r["is_phash_dup"]) for r in rows
+        }
+        assert got == _reference([full], set())
+        state_files = [
+            p for p in (tmp_path / "ckpt" / "state").rglob("*") if p.is_file()
+        ]
+        assert any(p.suffix == ".zip" for p in state_files), state_files
+        assert not any(p.suffix == ".delta" for p in state_files)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_streaming_ingest_no_history(spark, tmp_path):
     full = gen_images_pdf(60)
     src = tmp_path / "src"
