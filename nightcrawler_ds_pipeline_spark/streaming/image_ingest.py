@@ -18,10 +18,12 @@ partition; here they would pile into ONE group-state key. Their
 ``is_phash_dup`` is False by definition, same as batch.
 
 State is one boolean per distinct phash. At 10^10 images the state store
-holds every phash ever seen — a real deployment bounds it the same way
-the batch loop bounds the seen set (TTL eviction via GroupStateTimeout,
-or a sketch pre-filter in front); fixture-scale tests keep NoTimeout.
-Micro-batch equality with the batch reference is pinned in
+holds every phash ever seen — bounded the same way the batch loop bounds
+the seen set: ``ttl_ms`` TTL eviction (implemented below, tested) or a
+sketch pre-filter in front; size the store with RocksDB (SCALE.md §4b;
+provider proven in-env by test_streaming_ingest_rocksdb_state).
+Micro-batch equality with the batch reference, checkpoint-restart
+recovery, TTL re-admission and the RocksDB provider are all pinned in
 tests/test_streaming_image_ingest.py.
 """
 
