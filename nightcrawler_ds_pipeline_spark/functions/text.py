@@ -91,3 +91,21 @@ def price_concat_col(price: Column | str, currency: Column | str) -> Column:
     joined = F.concat(F.coalesce(_c(price), F.lit("")), F.lit(" "),
                       F.coalesce(_c(currency), F.lit("")))
     return F.when(F.length(F.trim(joined)) <= 1, F.lit("")).otherwise(joined)
+
+
+def mask_token_col(col: Column | str, token: str) -> Column:
+    """F17: mask a secret token inside a diagnostic/log string column —
+    every occurrence becomes ``token[:5] + "*****"``.
+
+    Reference: requests_wrapper.py:54-55 (`_mask_token_in_string`) — there
+    the pattern side uses `re.escape(token)` (a literal match, same as the
+    JVM-side literal `F.replace` here) and the replacement side wraps
+    `token[:5]` in `re.escape` too, which for the alphanumeric API tokens
+    this masks is the identity (re.sub renders escaped non-letters back to
+    the plain char); the parity test pins agreement against a pure-python
+    twin of the reference for those inputs. Empty token masks nothing
+    (matches the reference's falsy `token_to_mask` guard).
+    """
+    if not token:
+        return _c(col)
+    return F.replace(_c(col), F.lit(token), F.lit(token[:5] + "*****"))

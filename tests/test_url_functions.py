@@ -60,3 +60,45 @@ def test_run_uuid_deterministic():
 def test_checksum_uid_strips_query():
     assert checksum_uid("https://a.ch/p?x=1", "T") == checksum_uid("https://a.ch/p", "T")
     assert checksum_uid("https://a.ch/p", "T") != checksum_uid("https://a.ch/p", "U")
+
+
+def test_mask_token_col_reference_parity(spark):
+    """F17 parity: mask_token_col equals a pure-python twin of the
+    reference's _mask_token_in_string (requests_wrapper.py:54-55) on
+    realistic alphanumeric API tokens, including multi-occurrence and
+    no-occurrence strings; empty token is the no-op guard."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from nightcrawler_ds_pipeline_spark.functions.text import mask_token_col
+
+    def reference_twin(s, token):
+        if not token:
+            return s
+        return re.sub(re.escape(token), f"{re.escape(token[:5])}*****", s)
+
+    token = "sk4Xb9TQmzA71c"
+    cases = [
+        '{"key": "sk4Xb9TQmzA71c", "status": "ok"}',
+        "token=sk4Xb9TQmzA71c&again=sk4Xb9TQmzA71c",
+        "no secret here",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [
+        r["m"]
+        for r in df.select(mask_token_col("s", token).alias("m"))
+        .orderBy(F.monotonically_increasing_id())
+        .collect()
+    ]
+    expect = [reference_twin(c, token) for c in cases]
+    assert got == expect
+    assert got[0] == '{"key": "sk4Xb*****", "status": "ok"}'
+    assert got[1].count("*****") == 2 and token not in got[1]
+    # falsy-token guard
+    raw = [
+        r["m"]
+        for r in df.select(mask_token_col("s", "").alias("m")).collect()
+    ]
+    assert sorted(raw) == sorted(cases)
