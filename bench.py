@@ -4,7 +4,11 @@
    "crawl": {...}, "scaling": {...}}
 
 - headline operator queries run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-  local[$SPARK_GRAFT_CPUS] (default 32)
+  local[$SPARK_GRAFT_CPUS] (default 32); each query reports the warm
+  median of $SPARK_GRAFT_HEADLINE_REPS (default 3) full re-executions
+  (noop sink, no caching) — single-run numbers swing 1.2-1.9× with host
+  contention on this box (BASELINE.md); per-rep detail in
+  "queries_all_runs"
 - crawl throughput (URLs fetched+deduped/sec, the BASELINE.json metric) runs
   the full crawl loop on the t2 fixture tier
 - scaling: the same crawl job at local[8] and local[32] (sandbox stand-in
@@ -202,16 +206,27 @@ def main() -> None:
     # charged the session's cold-start (measured ~1-2 s on query 1)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(1000).collect()
+    # Per-query warm median-of-REPS: the box has time-varying host
+    # contention (BASELINE.md "variance methodology"), and single-run
+    # headline numbers drifted 1.2-1.9× between rounds for identical
+    # plans. noop-write re-executes the full plan each rep (no caching),
+    # so the median is a real warm re-execution, matching the
+    # median-of-N methodology already used for the scaling legs.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")))
     timings: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = sorted(runs)[len(runs) // 2]
+        runs_detail[name] = runs
+        total += timings[name]
 
     crawl = crawl_throughput(spark, tier="t2", iterations=3)
     total += crawl["sec"]
@@ -234,6 +249,8 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": timings,
+                "queries_all_runs": runs_detail,
+                "queries_reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
                 "scaling": scaling,
