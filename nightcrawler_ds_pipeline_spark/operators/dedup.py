@@ -434,36 +434,43 @@ def ngram_dup_sql(src: str, prefix: str = "nd") -> str:
     )"""
 
 
-def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
-    """Spark twin of ``ngram_dup_sql``: (doc_id, n_shingles, n_dup) for docs
-    with ≥ N words; one groupBy(shingle) shuffle with map-side combine +
-    one broadcast-able shared-shingle join — no all-pairs anywhere.
+def hashed_shingles_df(docs: DataFrame, n: int = _NGRAM_N) -> DataFrame:
+    """(doc_id, s) — distinct xxhash64'd word n-gram shingles per document,
+    for docs with ≥ n words. THE shared shingle definition: the span-dup
+    stats, the curation span gate, and decontamination all build on this
+    one builder so their shingle semantics can't drift.
 
     The shingle is xxhash64'd BEFORE the first shuffle: an 8-gram string
     averages ~50 bytes and the explode multiplies corpus bytes ~8×, so at
-    the 10^10-doc point the distinct+groupBy would otherwise shuffle close
-    to an order of magnitude more than the input corpus; the 8-byte key
-    cuts that ~6×. Counts are identical to the oracle's string-keyed
+    the 10^10-doc point a distinct+groupBy on the string key would shuffle
+    close to an order of magnitude more than the input corpus; the 8-byte
+    key cuts that ~6×. Counts are identical to the oracle's string-keyed
     arithmetic unless two DIFFERENT shingles collide in 64 bits (~2^-64
     per pair — the same accepted risk as the seen-set key)."""
     words = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
-    ).filter(F.size("w") >= _NGRAM_N)
-    sh = (
+    ).filter(F.size("w") >= n)
+    return (
         words.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("w"), i + 1, _NGRAM_N)
-                    ),
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
                 )
             ).alias("s_raw"),
         )
         .select("doc_id", F.xxhash64("s_raw").alias("s"))
         .distinct()
     )
+
+
+def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``ngram_dup_sql``: (doc_id, n_shingles, n_dup) for docs
+    with ≥ N words; one groupBy(shingle) shuffle with map-side combine +
+    one broadcast-able shared-shingle join — no all-pairs anywhere.
+    Shingle definition: ``hashed_shingles_df`` (shared builder)."""
+    sh = hashed_shingles_df(docs)
     shared = (
         sh.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -477,16 +484,6 @@ def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "text_dup_ngram_stats",
-    oracle=f"""
-    WITH {ngram_dup_sql("documents")}
-    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-           CAST(n_dup AS BIGINT) AS n_dup_shingles,
-           ROUND(n_dup / n_shingles, 4) AS dup_fraction
-    FROM nd_per_doc ORDER BY doc_id
-    """,
-)
 def text_dup_ngram_stats(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     per_doc = ngram_dup_stats_df(docs)
@@ -496,3 +493,117 @@ def text_dup_ngram_stats(spark, sf_dir):
         F.col("n_dup").cast("long").alias("n_dup_shingles"),
         F.round(F.col("n_dup") / F.col("n_shingles"), 4).alias("dup_fraction"),
     ).orderBy("doc_id")
+
+
+# --- benchmark decontamination ------------------------------------------------
+# Training corpora must be scrubbed of evaluation-set text or downstream
+# benchmark numbers are meaningless (the "data contamination" check every
+# published LLM run reports — e.g. GPT-3 App. C / PaLM §7 style n-gram
+# overlap). Relational form: a training document is contaminated when it
+# shares ≥1 word n-gram shingle with ANY benchmark document. Same shared
+# shingle builder as the span-dup stats (hashed_shingles_df), so the
+# decontamination n-gram is exactly the span-dup n-gram.
+#
+# Scale shape: benchmark sets are fixed-size (10^4-10^6 docs) while the
+# corpus is 10^10 — the distinct benchmark shingle set is broadcast-sized,
+# so the flagging join is a map-side BroadcastHashJoin with AQE picking it
+# automatically; the per-doc rollup is one partial+final hash aggregate.
+# No all-pairs, nothing scales with corpus × benchmark.
+_DECONTAM_BENCH_MOD = 23  # synthetic benchmark split: doc_id % 23 == 0
+
+
+def decontaminate_df(train_docs: DataFrame, bench_docs: DataFrame) -> DataFrame:
+    """Per training document: (doc_id, n_shingles, n_overlap, contaminated)
+    where n_overlap counts this doc's distinct shingles that appear anywhere
+    in the benchmark corpus and contaminated = 1 iff n_overlap > 0.
+    Docs with < _NGRAM_N words have no shingles and are vacuously clean
+    (excluded from the output, same convention as ngram_dup_stats_df)."""
+    tr = hashed_shingles_df(train_docs)
+    be = hashed_shingles_df(bench_docs).select("s").distinct()
+    flagged = tr.join(be.withColumn("__hit", F.lit(1)), "s", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn("contaminated", (F.col("n_overlap") > 0).cast("long"))
+    )
+
+
+def text_decontam_stats(spark, sf_dir):
+    """Registered leg: deterministic synthetic benchmark = documents with
+    doc_id % 23 == 0 (no external data in this sandbox); training set =
+    the rest."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECONTAM_BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECONTAM_BENCH_MOD != 0)
+    per_doc = decontaminate_df(train, bench)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long"),
+        F.col("n_overlap").cast("long"),
+        F.col("contaminated").cast("long"),
+    ).orderBy("doc_id")
+
+
+_DUP_DECONTAM_SQL = f"""
+WITH {ngram_dup_sql("documents")},
+dc_bench AS (
+  SELECT DISTINCT s FROM nd_sh WHERE doc_id % {_DECONTAM_BENCH_MOD} = 0
+),
+dc_per_doc AS (
+  SELECT tr.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM (SELECT * FROM nd_sh WHERE doc_id % {_DECONTAM_BENCH_MOD} <> 0) tr
+  LEFT JOIN dc_bench b ON tr.s = b.s
+  GROUP BY tr.doc_id
+)
+SELECT * FROM (
+  SELECT 'ngram_stats' AS part, doc_id,
+         CAST(n_shingles AS BIGINT) AS n_shingles,
+         CAST(n_dup AS BIGINT) AS n_dup_shingles,
+         ROUND(n_dup / n_shingles, 4) AS dup_fraction,
+         CAST(-1 AS BIGINT) AS n_overlap,
+         CAST(-1 AS BIGINT) AS contaminated
+  FROM nd_per_doc
+  UNION ALL
+  SELECT 'decontam' AS part, doc_id,
+         CAST(n_shingles AS BIGINT) AS n_shingles,
+         CAST(-1 AS BIGINT) AS n_dup_shingles,
+         CAST(-1.0 AS DOUBLE) AS dup_fraction,
+         CAST(n_overlap AS BIGINT) AS n_overlap,
+         CAST(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+  FROM dc_per_doc
+)
+ORDER BY part, doc_id
+"""
+
+
+@register("text_dup_decontam_suite", oracle=_DUP_DECONTAM_SQL)
+def text_dup_decontam_suite(spark, sf_dir):
+    """Tag-union composite (50-entry driver-sample cap): the span-dup stats
+    leg (the former text_dup_ngram_stats registration, unchanged semantics)
+    + the benchmark-decontamination leg. Sentinel fills (-1 / -1.0), never
+    NULL, per the union sort-key rule; total order (part, doc_id)."""
+    stats = text_dup_ngram_stats(spark, sf_dir).select(
+        F.lit("ngram_stats").alias("part"),
+        "doc_id",
+        "n_shingles",
+        "n_dup_shingles",
+        "dup_fraction",
+        F.lit(-1).cast("long").alias("n_overlap"),
+        F.lit(-1).cast("long").alias("contaminated"),
+    )
+    dc = text_decontam_stats(spark, sf_dir).select(
+        F.lit("decontam").alias("part"),
+        "doc_id",
+        "n_shingles",
+        F.lit(-1).cast("long").alias("n_dup_shingles"),
+        F.lit(-1.0).alias("dup_fraction"),
+        "n_overlap",
+        "contaminated",
+    )
+    return stats.unionByName(dc).orderBy("part", "doc_id")
