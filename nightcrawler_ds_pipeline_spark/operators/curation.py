@@ -9,6 +9,9 @@ from the individual operators this repo already ships —
       → exact dedup      (keep MIN doc_id per normalized-content md5)
       → span-dup gate    (Lee et al. ACL'22 cross-doc n-gram signal:
                           drop docs whose shingles are mostly duplicated)
+      → decontamination  (opt-in: drop docs sharing an 8-gram with a
+                          caller-supplied benchmark corpus — GPT-3/PaLM
+                          style eval-set scrub; dedup.decontaminate_df)
       → near-dup groups  (MinHash-LSH pairs → connected components)
       → labeled corpus   (every kept doc with its dup group + canonical flag)
 
@@ -40,6 +43,7 @@ from nightcrawler_ds_pipeline_spark.operators.components import (
     connected_components,
 )
 from nightcrawler_ds_pipeline_spark.operators.dedup import (
+    decontaminate_df,
     minhash_band_pairs_df,
     minhash_pairs_sql,
     ngram_dup_sql,
@@ -94,9 +98,21 @@ _C = DEFAULT_CURATION  # oracle mirrors exactly this configuration
 _G_SQL = gopher_sql_metrics()
 
 
-def curate(docs: DataFrame, cfg: CurationConfig = DEFAULT_CURATION) -> DataFrame:
+def curate(
+    docs: DataFrame,
+    cfg: CurationConfig = DEFAULT_CURATION,
+    bench_docs: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, text) → (doc_id, quality, dup_fraction, group_id,
-    is_canonical), one row per kept document."""
+    is_canonical), one row per kept document.
+
+    ``bench_docs`` (doc_id, text), when given, inserts the benchmark-
+    decontamination gate after the span-dup gate: any surviving doc that
+    shares ≥1 word-8-gram shingle with the benchmark corpus is dropped
+    (dedup.decontaminate_df — broadcast-sized flagging join). Like the
+    real-model switches this has no SQL twin in the registered oracle
+    (the driver corpus has no external eval set); the gate is pinned
+    end-to-end in tests/test_decontam.py."""
     docs = docs.filter(F.trim(F.coalesce("text", F.lit(""))) != "")
     if cfg.lang_model == "ngram":
         from nightcrawler_ds_pipeline_spark.functions.langid import langid_udf
@@ -161,6 +177,15 @@ def curate(docs: DataFrame, cfg: CurationConfig = DEFAULT_CURATION) -> DataFrame
     kept = with_dup.select(
         "doc_id", "text", "quality", F.col("__dup_frac").alias("dup_fraction")
     )
+    if bench_docs is not None:
+        # docs with < N words have no shingles → absent from the flag set
+        # → vacuously clean, which the left-anti keeps by construction
+        contaminated = (
+            decontaminate_df(kept.select("doc_id", "text"), bench_docs)
+            .filter(F.col("contaminated") == 1)
+            .select("doc_id")
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
     # kept feeds three consumers (signature chain, CC node set, final
     # join) — same materialize-once pattern
     kept = kept.localCheckpoint(eager=True)

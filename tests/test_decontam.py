@@ -71,6 +71,26 @@ def test_decontaminate_plan_stays_equi_join(spark):
     assert "HashAggregate" in plan
 
 
+def test_curation_decontam_gate_end_to_end(spark):
+    """curate(..., bench_docs=...) drops exactly the leaked doc; the same
+    corpus without a benchmark keeps it. Quality/Gopher/span gates relaxed
+    so the decontamination gate is the only discriminator."""
+    from nightcrawler_ds_pipeline_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    cfg = CurationConfig(quality_min=0.0, gopher=False, max_dup_fraction=None)
+    corpus = _docs(spark, [(1, LEAK_TEXT), (2, CLEAN_TEXT)])
+    bench = _docs(spark, [(0, BENCH_TEXT)])
+
+    no_gate = {r["doc_id"] for r in curate(corpus, cfg).collect()}
+    assert no_gate == {1, 2}
+
+    gated = {r["doc_id"] for r in curate(corpus, cfg, bench_docs=bench).collect()}
+    assert gated == {2}
+
+
 def test_ngram_n_is_eight(spark):
     # the decontamination n-gram IS the span-dup n-gram (shared builder);
     # a drift here silently changes both signals
