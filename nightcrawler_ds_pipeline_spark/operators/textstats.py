@@ -213,7 +213,6 @@ def text_lang_quality(spark, sf_dir):
 
 # --- real tokenizer / real language-ID (rows-only; pure-python twins are the
 # pytest oracle — a merges-table BPE and a trigram scorer have no SQL twin) --
-@register("text_bpe_real")
 def text_bpe_real(spark, sf_dir):
     """Real merges-table BPE token counts (functions/bpe.py), vs the cheap
     pre-tokenizer estimate. Merges are trained once on a bounded,
@@ -244,7 +243,6 @@ def text_bpe_real(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register("text_lang_id_ngram")
 def text_lang_id_ngram(spark, sf_dir):
     """Character-trigram language ID (functions/langid.py) over documents —
     the real-model counterpart of the oracle-parity marker heuristic
@@ -255,6 +253,64 @@ def text_lang_id_ngram(spark, sf_dir):
     lang = langid_udf(spark)
     return docs.select(
         "doc_id", "lang", lang(F.col("text")).alias("lang_pred_ngram")
+    ).orderBy("doc_id")
+
+
+@register("text_real_models")
+def text_real_models(spark, sf_dir):
+    """Rows-only composite (50-entry driver-sample cap; fold map in
+    COVERAGE.md): the two round-3 real-model signals — merges-table BPE
+    token counts + trigram language-ID — joined per document (both emit
+    exactly one row per doc_id). Sub-operators stay independently callable
+    and pytest-pinned (test_textstats_real)."""
+    return (
+        text_bpe_real(spark, sf_dir)
+        .join(text_lang_id_ngram(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register("text_perplexity_buckets")
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity tertiles (Wenzek et al. 2020): score every
+    document with a word-bigram LM trained on a bounded deterministic
+    reference sample (doc_id < 100 — the stand-in for CCNet's curated
+    reference corpus) and bucket head/middle/tail at the corpus tertiles.
+    Rows-only: smoothed-LM arithmetic has no tractable DuckDB twin; the
+    fluent-vs-gibberish ordering is pinned in tests/test_perplexity.py.
+
+    Scale: model broadcast in the UDF closure; scoring one-pass Arrow-
+    batched; thresholds ONE approx-percentile scalar aggregate (at real
+    scale persist the scored frame so the two consumers don't recompute
+    the UDF — at driver scale the recompute is cheaper than the cache)."""
+    from nightcrawler_ds_pipeline_spark.functions.ngram_lm import (
+        perplexity_udf,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sample = [
+        r["text"]
+        for r in docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    model = train_bigram_lm(sample)
+    ppl = perplexity_udf(spark, model)
+    scored = docs.select("doc_id", ppl(F.col("text")).alias("ppl"))
+    # tertile thresholds: one scalar aggregate (bounded driver action,
+    # same sanctioned class as the other scalar collects)
+    t1, t2 = scored.select(
+        F.expr("approx_percentile(ppl, array(0.3333, 0.6667))")
+    ).collect()[0][0]
+    return scored.select(
+        "doc_id",
+        F.round("ppl", 4).alias("ppl"),
+        F.when(F.col("ppl") <= t1, "head")
+        .when(F.col("ppl") <= t2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     ).orderBy("doc_id")
 
 

@@ -44,13 +44,13 @@ def test_bpe_more_merges_never_more_tokens():
 
 
 def test_text_bpe_real_matches_python_twin(spark):
-    import __spark_entry__ as e
-
+    # registered inside the text_real_models composite since late round 4
     from nightcrawler_ds_pipeline_spark.functions.bpe import train_bpe as tb
+    from nightcrawler_ds_pipeline_spark.operators.textstats import text_bpe_real
 
     out = {
         r["doc_id"]: r["n_bpe_real"]
-        for r in e.queries()["text_bpe_real"](spark, SF_DIR).collect()
+        for r in text_bpe_real(spark, SF_DIR).collect()
     }
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     rows = sorted(
@@ -89,11 +89,14 @@ def test_langid_undetermined():
 
 
 def test_langid_udf_matches_python_twin(spark):
-    import __spark_entry__ as e
+    # registered inside the text_real_models composite since late round 4
+    from nightcrawler_ds_pipeline_spark.operators.textstats import (
+        text_lang_id_ngram,
+    )
 
     out = {
         r["doc_id"]: r["lang_pred_ngram"]
-        for r in e.queries()["text_lang_id_ngram"](spark, SF_DIR).collect()
+        for r in text_lang_id_ngram(spark, SF_DIR).collect()
     }
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     for r in docs.select("doc_id", "text").collect():
