@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--min-real-tokens", type=int, default=None,
                     help="when set, train real BPE on a bounded sample and "
                          "require at least this many tokens per doc")
+    ap.add_argument("--ppl-drop", choices=("tail", "middle_tail"),
+                    default=None,
+                    help="CCNet perplexity gate: drop the worst tertile(s) "
+                         "by bounded-sample bigram-LM perplexity")
     args = ap.parse_args()
 
     from nightcrawler_ds_pipeline_spark.operators.curation import (
@@ -65,6 +69,7 @@ def main() -> None:
         max_dup_fraction=args.max_dup_fraction,
         lang_model=args.lang_model,
         min_real_tokens=args.min_real_tokens,
+        ppl_drop=args.ppl_drop,
     )
     kept = curate(docs, cfg, bench_docs=bench)
     kept.write.mode("overwrite").parquet(args.output)

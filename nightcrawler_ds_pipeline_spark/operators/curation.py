@@ -6,6 +6,8 @@ from the individual operators this repo already ships —
                           trigram langid via CurationConfig)
       → quality gate     (composite quality ≥ 0.5, non-empty)
       → Gopher rules     (Rae et al. 2021 App. A1.1 document-quality pass)
+      → perplexity gate  (opt-in: CCNet tertile filter by bigram-LM
+                          perplexity; functions/ngram_lm.py)
       → exact dedup      (keep MIN doc_id per normalized-content md5)
       → span-dup gate    (Lee et al. ACL'22 cross-doc n-gram signal:
                           drop docs whose shingles are mostly duplicated)
@@ -87,10 +89,18 @@ class CurationConfig:
     # when set, train real merges-table BPE (functions/bpe.py) on a
     # bounded deterministic sample and require ≥ this many tokens
     min_real_tokens: int | None = None
+    # CCNet-style perplexity gate (functions/ngram_lm.py): train the
+    # bounded-sample bigram LM on the post-quality-gate survivors and drop
+    # the named tertile(s) — "tail" keeps head+middle (the CCNet default),
+    # "middle_tail" keeps only head. None disables (the oracle-parity
+    # default; like the other real-model switches this is a pytest path).
+    ppl_drop: str | None = None
 
     def __post_init__(self):
         if self.lang_model not in ("marker", "ngram"):
             raise ValueError(f"CurationConfig: unknown lang_model {self.lang_model!r}")
+        if self.ppl_drop not in (None, "tail", "middle_tail"):
+            raise ValueError(f"CurationConfig: unknown ppl_drop {self.ppl_drop!r}")
 
 
 DEFAULT_CURATION = CurationConfig()
@@ -137,6 +147,30 @@ def curate(
             g.filter(gopher_keep_col(m, min_stop_hits=cfg.gopher_min_stop_hits))
             .drop("__w", "__lines")
         )
+    if cfg.ppl_drop is not None:
+        from nightcrawler_ds_pipeline_spark.functions.ngram_lm import (
+            perplexity_udf,
+            train_bigram_lm,
+        )
+
+        sample = [
+            r["text"]
+            for r in gated.select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(100)
+            .collect()
+        ]
+        ppl = perplexity_udf(gated.sparkSession, train_bigram_lm(sample))
+        scored = gated.withColumn("__ppl", ppl(F.col("text")))
+        # one approx-percentile scalar aggregate for the tertile cut; the
+        # scored lineage re-executes once more for the filter (bounded —
+        # at real scale persist scored before the threshold action)
+        cuts = scored.select(
+            F.expr("approx_percentile(__ppl, array(0.3333, 0.6667))")
+        ).collect()[0][0]
+        if cuts is not None:
+            cut = cuts[1] if cfg.ppl_drop == "tail" else cuts[0]
+            gated = scored.filter(F.col("__ppl") <= cut).drop("__ppl")
     if cfg.min_real_tokens is not None:
         from nightcrawler_ds_pipeline_spark.functions.bpe import (
             bpe_token_count_udf,

@@ -9,6 +9,10 @@ from nightcrawler_ds_pipeline_spark.functions.ngram_lm import (
     train_bigram_lm,
 )
 
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 REFERENCE = [
     "the quick brown fox jumps over the lazy dog in the green field",
     "the dog runs over the field and the fox sleeps under the tree",
@@ -62,6 +66,49 @@ def test_bucket_query_partitions_by_threshold(spark):
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
     # tertiles are roughly balanced (approx-percentile, synthetic ties)
     assert all(len(v) >= n * 0.1 for v in by_bucket.values())
+
+
+def test_curation_ppl_gate_drops_gibberish(spark):
+    """curate(..., ppl_drop='tail') must drop the shuffled-word doc (worst
+    bigram perplexity) and keep fluent docs; without the gate all pass.
+    Other gates relaxed so perplexity is the only discriminator."""
+    from nightcrawler_ds_pipeline_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    fluent = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog in the field",
+                "the dog runs over the field and the fox sleeps under the tree",
+                "a fox and a dog play in the field near the old tree today",
+                "the tree stands in the field where the fox runs with the dog",
+                "the fox and the dog rest under the tree in the green field",
+            ]
+        )
+    ]
+    # same stopword-heavy vocabulary (passes the lang marker gate), word
+    # order shuffled so every bigram is unseen
+    gibberish = (9, "tree the and dog of field the fox over runs the under to")
+    corpus = _docs(spark, fluent + [gibberish])
+
+    base = CurationConfig(quality_min=0.0, gopher=False, max_dup_fraction=None)
+    kept_all = {r["doc_id"] for r in curate(corpus, base).collect()}
+    assert 9 in kept_all and kept_all >= {0, 1, 2, 3, 4}
+
+    gated_cfg = CurationConfig(
+        quality_min=0.0, gopher=False, max_dup_fraction=None, ppl_drop="tail"
+    )
+    kept = {r["doc_id"] for r in curate(corpus, gated_cfg).collect()}
+    assert 9 not in kept
+    assert len(kept) >= 3  # head+middle survive
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        CurationConfig(ppl_drop="everything")
 
 
 def test_real_models_composite_one_row_per_doc(spark):
