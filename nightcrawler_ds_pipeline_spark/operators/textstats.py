@@ -157,23 +157,32 @@ def text_token_counts(spark, sf_dir):
     return a.join(b, "doc_id").orderBy("doc_id")
 
 
-@register(
-    "text_normalize",
-    oracle="""
+def _text_normalize_oracle() -> str:
+    from nightcrawler_ds_pipeline_spark.functions.pii import mask_pii_sql
+
+    return f"""
     SELECT doc_id,
            trim(regexp_replace(
              replace(regexp_replace(
                replace(replace(lower(text), chr(10), ' '), chr(9), ' '),
                '["'']', '', 'g'), '-', ' '),
              ' +', ' ', 'g')) AS clean,
-           md5(lower(trim(text))) AS fp
+           md5(lower(trim(text))) AS fp,
+           {mask_pii_sql("text")} AS pii_masked
     FROM documents ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("text_normalize", oracle=_text_normalize_oracle())
 def text_normalize(spark, sf_dir):
+    from nightcrawler_ds_pipeline_spark.functions.pii import mask_pii_col
+
     a = text_clean_short(spark, sf_dir)
     b = text_fingerprint(spark, sf_dir)
-    return a.join(b, "doc_id").orderBy("doc_id")
+    c = read_table(spark, sf_dir, "documents").select(
+        "doc_id", mask_pii_col("text").alias("pii_masked")
+    )
+    return a.join(b, "doc_id").join(c, "doc_id").orderBy("doc_id")
 
 
 @register(
