@@ -495,6 +495,77 @@ def text_dup_ngram_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- line-level boilerplate removal -------------------------------------------
+# CCNet's first stage (Wenzek et al. 2020 §3.1): drop LINES whose normalized
+# form repeats across documents (nav menus, cookie banners, license headers)
+# and rebuild each document from its surviving lines in original order.
+# Relational form: posexplode(lines) → groupBy(line-hash) with map-side
+# combine → anti-join → ordered re-assembly per doc. The line is xxhash64'd
+# before the shuffle (same rationale as the shingle stats); blank lines are
+# never counted as boilerplate (they'd match vacuously across every doc).
+_BOILER_MIN_DOCS = 2
+
+
+def remove_boilerplate_lines_df(
+    docs: DataFrame, min_docs: int = _BOILER_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, text_clean) — each doc rebuilt without lines whose
+    trim+lower form is non-empty and appears in ≥ min_docs distinct docs.
+    Docs whose every line is boilerplate come back as ''."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).withColumn("lh", F.xxhash64(F.trim(F.lower("line"))))
+    common = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(common.withColumn("__b", F.lit(1)), "lh", "left").filter(
+        F.col("__b").isNull()
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean")
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean")
+    )
+
+
+def boilerplate_sql(src: str, min_docs: int = _BOILER_MIN_DOCS) -> str:
+    """DuckDB CTE fragment: final CTE ``bp_clean`` has (doc_id, text_clean)
+    for every row of ``src`` (a relation with doc_id, text)."""
+    return f"""bp_lines AS (
+      SELECT doc_id,
+             unnest([{{'pos': i, 'line': l[i]}}
+                     for i in generate_series(1, len(l))], recursive := true)
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM {src})
+    ),
+    bp_common AS (
+      SELECT trim(lower(line)) AS k FROM bp_lines
+      WHERE trim(line) <> ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ),
+    bp_rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM bp_lines
+      WHERE trim(lower(line)) NOT IN (SELECT k FROM bp_common)
+      GROUP BY doc_id
+    ),
+    bp_clean AS (
+      SELECT s.doc_id, COALESCE(r.text_clean, '') AS text_clean
+      FROM {src} s LEFT JOIN bp_rebuilt r ON s.doc_id = r.doc_id
+    )"""
+
+
 # --- benchmark decontamination ------------------------------------------------
 # Training corpora must be scrubbed of evaluation-set text or downstream
 # benchmark numbers are meaningless (the "data contamination" check every

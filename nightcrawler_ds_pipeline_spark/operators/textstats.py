@@ -159,30 +159,41 @@ def text_token_counts(spark, sf_dir):
 
 def _text_normalize_oracle() -> str:
     from nightcrawler_ds_pipeline_spark.functions.pii import mask_pii_sql
+    from nightcrawler_ds_pipeline_spark.operators.dedup import boilerplate_sql
 
     return f"""
-    SELECT doc_id,
+    WITH {boilerplate_sql("documents")}
+    SELECT d.doc_id,
            trim(regexp_replace(
              replace(regexp_replace(
-               replace(replace(lower(text), chr(10), ' '), chr(9), ' '),
+               replace(replace(lower(d.text), chr(10), ' '), chr(9), ' '),
                '["'']', '', 'g'), '-', ' '),
              ' +', ' ', 'g')) AS clean,
-           md5(lower(trim(text))) AS fp,
-           {mask_pii_sql("text")} AS pii_masked
-    FROM documents ORDER BY doc_id
+           md5(lower(trim(d.text))) AS fp,
+           {mask_pii_sql("d.text")} AS pii_masked,
+           bp.text_clean AS boilerplate_removed
+    FROM documents d JOIN bp_clean bp ON d.doc_id = bp.doc_id
+    ORDER BY d.doc_id
     """
 
 
 @register("text_normalize", oracle=_text_normalize_oracle())
 def text_normalize(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.functions.pii import mask_pii_col
+    from nightcrawler_ds_pipeline_spark.operators.dedup import (
+        remove_boilerplate_lines_df,
+    )
 
     a = text_clean_short(spark, sf_dir)
     b = text_fingerprint(spark, sf_dir)
-    c = read_table(spark, sf_dir, "documents").select(
-        "doc_id", mask_pii_col("text").alias("pii_masked")
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.select("doc_id", mask_pii_col("text").alias("pii_masked"))
+    d = remove_boilerplate_lines_df(docs).withColumnRenamed(
+        "text_clean", "boilerplate_removed"
     )
-    return a.join(b, "doc_id").join(c, "doc_id").orderBy("doc_id")
+    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").orderBy(
+        "doc_id"
+    )
 
 
 @register(
