@@ -50,6 +50,9 @@ def main() -> None:
                     default=None,
                     help="CCNet perplexity gate: drop the worst tertile(s) "
                          "by bounded-sample bigram-LM perplexity")
+    ap.add_argument("--remove-boilerplate", action="store_true",
+                    help="CCNet stage-1 line-level boilerplate removal "
+                         "before any gate")
     args = ap.parse_args()
 
     from nightcrawler_ds_pipeline_spark.operators.curation import (
@@ -70,6 +73,7 @@ def main() -> None:
         lang_model=args.lang_model,
         min_real_tokens=args.min_real_tokens,
         ppl_drop=args.ppl_drop,
+        remove_boilerplate=args.remove_boilerplate,
     )
     kept = curate(docs, cfg, bench_docs=bench)
     kept.write.mode("overwrite").parquet(args.output)

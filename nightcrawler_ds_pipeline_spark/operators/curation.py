@@ -2,6 +2,8 @@
 from the individual operators this repo already ships —
 
     documents
+      → boilerplate pass (opt-in: CCNet stage-1 line-level removal;
+                          dedup.remove_boilerplate_lines_df)
       → language gate    (lang_pred = 'en'; marker heuristic or real
                           trigram langid via CurationConfig)
       → quality gate     (composite quality ≥ 0.5, non-empty)
@@ -89,6 +91,12 @@ class CurationConfig:
     # when set, train real merges-table BPE (functions/bpe.py) on a
     # bounded deterministic sample and require ≥ this many tokens
     min_real_tokens: int | None = None
+    # CCNet stage-1 line-level boilerplate removal BEFORE any gate: all
+    # downstream signals (lang, quality, Gopher, LM, shingles, MinHash)
+    # then see article text, not nav menus/cookie banners. Rewrites the
+    # text column, so it has no SQL twin in the registered oracle (like
+    # the other real-model switches, a pytest path).
+    remove_boilerplate: bool = False
     # CCNet-style perplexity gate (functions/ngram_lm.py): train the
     # bounded-sample bigram LM on the post-quality-gate survivors and drop
     # the named tertile(s) — "tail" keeps head+middle (the CCNet default),
@@ -124,6 +132,18 @@ def curate(
     (the driver corpus has no external eval set); the gate is pinned
     end-to-end in tests/test_decontam.py."""
     docs = docs.filter(F.trim(F.coalesce("text", F.lit(""))) != "")
+    if cfg.remove_boilerplate:
+        from nightcrawler_ds_pipeline_spark.operators.dedup import (
+            remove_boilerplate_lines_df,
+        )
+
+        keep_cols = [c for c in docs.columns if c != "text"]
+        docs = (
+            docs.select(*keep_cols)
+            .join(remove_boilerplate_lines_df(docs), "doc_id")
+            .withColumnRenamed("text_clean", "text")
+            .filter(F.trim("text") != "")
+        )
     if cfg.lang_model == "ngram":
         from nightcrawler_ds_pipeline_spark.functions.langid import langid_udf
 

@@ -52,6 +52,35 @@ def test_boilerplate_blank_lines_never_count(spark):
     assert out[1] == "a\n\nb" and out[2] == "c\n\nd"
 
 
+def test_curation_boilerplate_pass_end_to_end(spark):
+    """remove_boilerplate=True strips the banner BEFORE the gates, so two
+    articles that differ only outside the shared banner stop being
+    near-duplicates; an all-boilerplate doc is dropped entirely."""
+    from nightcrawler_ds_pipeline_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    body1 = "the quick brown fox jumps over the lazy dog in the field"
+    body2 = "a completely different second article about the old tree there"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{BANNER}\n{body1}"),
+            (2, f"{BANNER}\n{body2}"),
+            (3, BANNER),  # nothing but the banner → dropped
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(
+        quality_min=0.0, gopher=False, max_dup_fraction=None,
+        remove_boilerplate=True,
+    )
+    rows = {r["doc_id"]: r.asDict() for r in curate(corpus, cfg).collect()}
+    assert set(rows) == {1, 2}
+    # with the banner gone the two docs share no shingles → own groups
+    assert rows[1]["group_id"] != rows[2]["group_id"]
+
+
 def test_boilerplate_duckdb_twin_matches(spark):
     sdf = remove_boilerplate_lines_df(_df(spark))
     got_spark = {r["doc_id"]: r["text_clean"] for r in sdf.collect()}
