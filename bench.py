@@ -49,6 +49,11 @@ HEADLINE = [
     # round 4: the image-axis path — exact phash dedup + Manku 28-combo
     # hamming-band near-dup + CC groups over the t1 image fixture
     "image_phash_suite",
+    # late round 4: span-dup stats + benchmark decontamination (two
+    # shingle passes over documents) and the normalize composite that
+    # now carries PII masking + line-level boilerplate reassembly
+    "text_dup_decontam_suite",
+    "text_normalize",
 ]
 
 
