@@ -81,6 +81,17 @@ def test_curation_boilerplate_pass_end_to_end(spark):
     assert rows[1]["group_id"] != rows[2]["group_id"]
 
 
+def test_boilerplate_plan_stays_equi_join(spark):
+    """Reassembly must stay key-partitioned: equi-joins only, partial+final
+    hash aggregates, no Python UDF anywhere in the plan."""
+    df = remove_boilerplate_lines_df(_df(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_boilerplate_duckdb_twin_matches(spark):
     sdf = remove_boilerplate_lines_df(_df(spark))
     got_spark = {r["doc_id"]: r["text_clean"] for r in sdf.collect()}
