@@ -81,6 +81,33 @@ def test_curation_boilerplate_pass_end_to_end(spark):
     assert rows[1]["group_id"] != rows[2]["group_id"]
 
 
+def test_boilerplate_identity_on_unique_corpus(spark):
+    """With no line repeated across docs, the rebuild must be byte-exact —
+    including blank lines, tabs, trailing newlines and unicode."""
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "δelta", "ε", "zeta\tmark", "100.5"]
+    docs = []
+    for i in range(30):
+        lines = [
+            f"doc{i} " + " ".join(rng.choices(words, k=rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        if rng.random() < 0.3:
+            lines.insert(rng.randrange(len(lines) + 1), "")
+        text = "\n".join(lines) + ("\n" if rng.random() < 0.3 else "")
+        docs.append((i, text))
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines_df(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        assert out[i] == text, (i, repr(text), repr(out[i]))
+
+
 def test_boilerplate_plan_stays_equi_join(spark):
     """Reassembly must stay key-partitioned: equi-joins only, partial+final
     hash aggregates, no Python UDF anywhere in the plan."""

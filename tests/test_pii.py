@@ -67,6 +67,26 @@ def test_mask_pii_engines_agree_on_corpus(spark):
         assert got_spark[doc_id] == m, doc_id
 
 
+def test_mask_pii_identity_on_clean_text(spark):
+    """Text with digits/punctuation but no PII shapes must pass unchanged
+    (prices, years, version strings, short numbers, unicode)."""
+    clean = [
+        "version 2.4.1 released in 2024",
+        "price: 1'299.00 CHF (was 1'499)",
+        "room 4b, floor 3 — ünïcode ok",
+        "pi is 3.14159 and e is 2.71828",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean)], "id long, text string"
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in df.select("id", mask_pii_col("text").alias("m")).collect()
+    }
+    for i, t in enumerate(clean):
+        assert out[i] == t, (t, out[i])
+
+
 def test_mask_pii_null_passthrough(spark):
     df = spark.createDataFrame([(1, None)], "id long, text string")
     assert df.select(mask_pii_col("text").alias("m")).collect()[0]["m"] is None
