@@ -48,7 +48,7 @@ from nightcrawler_ds_pipeline_spark.operators.components import (
 )
 from nightcrawler_ds_pipeline_spark.operators.dedup import (
     decontaminate_df,
-    minhash_band_pairs_df,
+    minhash_band_star_edges_df,
     minhash_pairs_sql,
     ngram_dup_sql,
     ngram_dup_stats_df,
@@ -243,15 +243,20 @@ def curate(
     # kept feeds three consumers (signature chain, CC node set, final
     # join) — same materialize-once pattern
     kept = kept.localCheckpoint(eager=True)
-    # MinHash-LSH candidate pairs over the kept docs — the ONE shared
-    # definition in dedup.py (same salt scheme + banding as its oracle)
+    # MinHash-LSH edges over the kept docs — banding/salt shared with the
+    # oracle via dedup.py's single definition. The chain needs GROUPS, not
+    # pairs, so it uses the star-edge formulation: k-1 edges per bucket
+    # instead of the oracle's k(k-1)/2 clique pairs — connected components
+    # are provably identical (per-bucket connectivity is all CC sees;
+    # pinned in tests/test_plans_curation.py), and the hottest bucket stays
+    # linear at 10^10 docs instead of quadratic.
     # verify=False: the star-forest collision guard costs one extra full
     # Spark action per call; the chain's output is already end-to-end
     # hash-checked against the DuckDB oracle, so the 2^-64 fingerprint-
     # collision risk is accepted on this hot path (the guard stays on by
     # default everywhere else, incl. the standalone CC query)
-    pairs = minhash_band_pairs_df(kept.select("doc_id", "text"))
-    cc = connected_components(pairs, nodes=kept.select("doc_id"), verify=False)
+    edges = minhash_band_star_edges_df(kept.select("doc_id", "text"))
+    cc = connected_components(edges, nodes=kept.select("doc_id"), verify=False)
     return (
         kept.join(
             cc.select(F.col("node").alias("doc_id"), F.col("component")),

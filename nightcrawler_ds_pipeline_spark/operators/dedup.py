@@ -105,9 +105,10 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → distinct candidate pairs (id_a < id_b) via the
-    banded bucket equi-join. The Spark twin of ``minhash_pairs_sql``."""
+def _band_rows_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band_id, band_key) — one row per document
+    per band. The single Spark-side banding definition; both the clique-pair
+    and star-edge formulations below derive from it."""
     sig = minhash_signatures_df(docs)
     band_exprs = [
         F.struct(
@@ -118,9 +119,20 @@ def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
         )
         for b in range(NUM_MINHASHES // BAND_SIZE)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → distinct candidate pairs (id_a < id_b) via the
+    banded bucket equi-join. The Spark twin of ``minhash_pairs_sql``.
+
+    A bucket of k co-hashed documents emits k·(k-1)/2 pairs — correct when
+    the pairs themselves are the product (verification, similarity scoring),
+    but quadratic in the hottest bucket. When the pairs only feed connected
+    components, use ``minhash_band_star_edges_df`` instead."""
+    bands = _band_rows_df(docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -130,6 +142,32 @@ def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_band_star_edges_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (id_a, id_b) star edges: every bucket member joined
+    to its bucket's MINIMUM doc_id. Connectivity-equivalent to
+    ``minhash_band_pairs_df`` — within one bucket the star reaches exactly
+    the clique's node set, and components of a union of edge sets depend
+    only on per-bucket connectivity — so connected components over either
+    edge set are IDENTICAL (tests/test_plans_curation.py pins this).
+
+    The scale difference is the point: a bucket of k documents emits k-1
+    edges instead of k·(k-1)/2 pairs. At 10^10 docs a boilerplate cluster
+    landing 10^6 docs in one band bucket means 10^6 star edges vs 5·10^11
+    clique pairs — the difference between a shuffle AQE can size and a job
+    that never finishes. One groupBy(band) with a map-side-combinable MIN
+    plus one equi-join back on the band key; no self-join."""
+    bands = _band_rows_df(docs)
+    roots = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("id_a")
+    )
+    return (
+        bands.join(roots, ["band_id", "band_key"])
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
         .distinct()
     )
 

@@ -75,3 +75,70 @@ def test_star_join_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _neardup_corpus(spark):
+    """Mixed corpus: an identical 8-doc cluster, a near-dup pair sharing
+    most tokens, and unique docs — enough bucket structure to make the
+    clique/star comparison non-trivial."""
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    docs = [(i, base) for i in range(8)]
+    docs += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs += [(200 + i, f"unique document number {i} about topic {i * 7}")
+             for i in range(5)]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_star_edges_components_equal_clique_pairs(spark):
+    """The curation chain's star-edge LSH formulation must label components
+    IDENTICALLY to the oracle's clique-pair formulation — the equivalence
+    that lets the chain run O(k) edges per bucket against an O(k^2) oracle."""
+    from nightcrawler_ds_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from nightcrawler_ds_pipeline_spark.operators.dedup import (
+        minhash_band_pairs_df,
+        minhash_band_star_edges_df,
+    )
+
+    docs = _neardup_corpus(spark)
+    nodes = docs.select("doc_id")
+    via_pairs = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            minhash_band_pairs_df(docs), nodes=nodes
+        ).collect()
+    }
+    via_star = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            minhash_band_star_edges_df(docs), nodes=nodes
+        ).collect()
+    }
+    assert via_star == via_pairs
+    # sanity: the identical cluster actually grouped (all 8 under min id 0)
+    assert {(i, 0) for i in range(8)} <= via_star
+
+
+def test_star_edges_linear_in_bucket_size(spark):
+    """A k-doc identical cluster collides in every band: clique pairs are
+    k(k-1)/2, star edges exactly k-1 — the at-scale reason the chain uses
+    the star formulation."""
+    from nightcrawler_ds_pipeline_spark.operators.dedup import (
+        minhash_band_pairs_df,
+        minhash_band_star_edges_df,
+    )
+
+    k = 40
+    docs = spark.createDataFrame(
+        [(i, "same text every time for this whole cluster") for i in range(k)]
+        + [(900, "completely different content standing alone")],
+        "doc_id long, text string",
+    )
+    assert minhash_band_pairs_df(docs).count() == k * (k - 1) // 2
+    star = minhash_band_star_edges_df(docs).collect()
+    assert len(star) == k - 1
+    assert all(r["id_a"] == 0 for r in star)
