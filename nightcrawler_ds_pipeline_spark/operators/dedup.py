@@ -92,10 +92,17 @@ def minhash_pairs_sql(source: str) -> str:
 
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, h0..h{n-1}) MinHash signatures — the
-    single Spark-side definition of the token split + '#seed' salt."""
+    single Spark-side definition of the token split + '#seed' salt.
+
+    NO distinct on (doc_id, w): min(md5(w||seed)) over a token MULTISET
+    equals min over the token set, so the oracle's SELECT DISTINCT is
+    algebraically redundant here — and dropping it removes a full
+    O(total-tokens)-row shuffle in favor of the groupBy's map-side partial
+    agg, whose shuffle carries ~1 row x 8 hex mins per doc per partition
+    (plan pinned single-Exchange in tests/test_plans_curation.py)."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
-    ).distinct()
+    )
     aggs = [
         F.min(
             F.md5(F.encode(F.concat(F.col("w"), F.lit(f"#{i}")), "utf-8"))

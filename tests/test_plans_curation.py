@@ -142,3 +142,22 @@ def test_star_edges_linear_in_bucket_size(spark):
     star = minhash_band_star_edges_df(docs).collect()
     assert len(star) == k - 1
     assert all(r["id_a"] == 0 for r in star)
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """Signature generation must be explode -> partial agg -> ONE exchange
+    on doc_id. A second exchange means someone reintroduced the redundant
+    (doc_id, token) distinct (min over a multiset == min over the set)."""
+    from nightcrawler_ds_pipeline_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (1, "d e f")], "doc_id long, text string"
+    )
+    import re
+
+    plan = _plan(minhash_signatures_df(docs))
+    # formatted output lists each node twice (tree + detail) — count the
+    # numbered detail entries: one shuffle for the final agg, no distinct
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
