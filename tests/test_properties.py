@@ -145,3 +145,75 @@ def test_cuckoo_no_false_negatives_after_deletes(keys, data):
     remaining = np.array(sorted(set(keys) - dels), dtype=np.int64)
     if len(remaining):
         assert cf.contains(remaining).all()
+
+
+# --- PII mask pattern properties (engine-independent: the Java∩RE2 dialect
+# is also valid Python `re`, so hypothesis can hunt the pattern space
+# cheaply; engine parity itself is pinned in test_pii.py) --------------------
+import re as _re
+
+from nightcrawler_ds_pipeline_spark.functions.pii import _MASKS
+
+_PII_ALPHABET = st.sampled_from(list("ab9@.+-() \t") + ["<", ">"])
+
+
+def _mask_py(text: str) -> str:
+    for pat, token in _MASKS:
+        text = _re.sub(pat, token, text)
+    return text
+
+
+@given(st.text(alphabet=_PII_ALPHABET, max_size=80))
+@settings(max_examples=500, deadline=None)
+def test_mask_pii_idempotent(text):
+    """Placeholder tokens must never create NEW matches — masking twice
+    must equal masking once (e.g. a <PHONE> landing between digit runs
+    must not bridge them into a fresh phone match)."""
+    once = _mask_py(text)
+    assert _mask_py(once) == once, (text, once)
+
+
+@given(st.text(alphabet=st.sampled_from(list("abc .!?-")), max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_mask_pii_noop_without_digits_or_at(text):
+    """Every PII shape needs a digit or '@' — text with neither must pass
+    through byte-identical (the identity half of the masking contract)."""
+    assert _mask_py(text) == text
+
+
+# --- bigram-LM perplexity totality ------------------------------------------
+@given(
+    corpus=st.lists(
+        st.text(alphabet=st.sampled_from(list("abcd ")), min_size=1, max_size=40),
+        min_size=1, max_size=10,
+    ),
+    text=st.text(alphabet=st.sampled_from(list("abcdef ")), max_size=60),
+)
+@settings(max_examples=100, deadline=None)
+def test_perplexity_total_finite_positive(corpus, text):
+    """A smoothed LM must score ANY text — including OOV tokens and empty
+    strings — with a finite positive perplexity, never raise/inf/nan."""
+    import math
+
+    from nightcrawler_ds_pipeline_spark.functions.ngram_lm import (
+        perplexity,
+        train_bigram_lm,
+    )
+
+    model = train_bigram_lm(corpus)
+    p = perplexity(text, model)
+    assert isinstance(p, float) and math.isfinite(p) and p > 0, (text, p)
+
+
+# --- language-ID totality ----------------------------------------------------
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_detect_language_total(text):
+    """Arbitrary unicode (emoji, control chars, empty) must classify into
+    a known label, never raise."""
+    from nightcrawler_ds_pipeline_spark.functions.langid import (
+        LANGS,
+        detect_language,
+    )
+
+    assert detect_language(text) in set(LANGS) | {"und"}
