@@ -161,3 +161,32 @@ def test_minhash_signatures_single_shuffle(spark):
     # formatted output lists each node twice (tree + detail) — count the
     # numbered detail entries: one shuffle for the final agg, no distinct
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_span_dup_stats_exact_under_planted_skew(spark):
+    """Correctness under the skew the span-dup shuffle sees at corpus scale:
+    half the docs share ONE boilerplate 8-gram (a single shingle key holding
+    half the corpus), the rest are all-unique. Every per-doc count must be
+    exact — the hot key must neither drop nor double-count rows."""
+    from nightcrawler_ds_pipeline_spark.operators.dedup import (
+        ngram_dup_stats_df,
+    )
+
+    n = 10_000
+    boiler = " ".join(f"b{j}" for j in range(8))
+    rows = []
+    for i in range(n):
+        uniq = " ".join(f"u{i}w{j}" for j in range(7))
+        # even docs: boilerplate + unique tail -> 15 words, 8 shingles, of
+        # which exactly one (the pure-boilerplate 8-gram) is cross-doc dup
+        # odd docs: 15 unique words -> 8 shingles, none duplicated
+        text = f"{boiler} {uniq}" if i % 2 == 0 else f"{uniq} " + " ".join(
+            f"x{i}y{j}" for j in range(8)
+        )
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_dup"])
+           for r in ngram_dup_stats_df(docs).collect()}
+    assert len(got) == n
+    for i in range(n):
+        assert got[i] == (8, 1 if i % 2 == 0 else 0), (i, got[i])
