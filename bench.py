@@ -10,7 +10,8 @@
   contention on this box (BASELINE.md); per-rep detail in
   "queries_all_runs"
 - crawl throughput (URLs fetched+deduped/sec, the BASELINE.json metric) runs
-  the full crawl loop on the t2 fixture tier
+  the full crawl loop on the t2 fixture tier, median of
+  $SPARK_GRAFT_CRAWL_REPS (default 3) complete runs on fresh catalogs
 - scaling: the same crawl job at local[8] and local[32] (sandbox stand-in
   for N vs 4N executors; BASELINE.json requires efficiency ≥ 0.8) — run in
   subprocesses so each gets a fresh JVM. Skipped when SPARK_GRAFT_BENCH_FAST=1.
@@ -58,8 +59,14 @@ HEADLINE = [
 
 
 def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
-    """URLs fetched+deduped/sec over a full crawl-loop run."""
+    """URLs fetched+deduped/sec over a full crawl-loop run — median of
+    $SPARK_GRAFT_CRAWL_REPS (default 3) complete runs, each on a fresh
+    catalog. Same methodology as the headline queries: the single-pass
+    number historically swung 34-92 urls/s round-to-round on identical
+    code purely with host contention (BASELINE.md); per-rep detail in
+    "all_urls_per_sec"."""
     import shutil
+    import statistics
     import tempfile
 
     from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
@@ -67,23 +74,37 @@ def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
     from nightcrawler_ds_pipeline_spark.fixtures import write_fixture_parquet
 
     fx = write_fixture_parquet(tier)
-    cat_dir = tempfile.mkdtemp(prefix="ncds_bench_cat_")
-    try:
-        catalog = SnapshotCatalog(cat_dir)
-        cfg = CrawlConfig(iterations=iterations, max_per_host=100, window_ms=100_000)
-        t0 = time.time()
-        summary = run_crawl(spark, catalog, fx, cfg)
-        wall = time.time() - t0
-        total_urls = sum(i["dequeued"] for i in summary["iterations"])
-        return {
-            "tier": tier,
-            "iterations": len(summary["iterations"]),
-            "urls": total_urls,
-            "sec": round(wall, 2),
-            "urls_per_sec": round(total_urls / wall, 2) if wall > 0 else None,
-        }
-    finally:
-        shutil.rmtree(cat_dir, ignore_errors=True)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3")))
+    runs = []
+    for _ in range(reps):
+        cat_dir = tempfile.mkdtemp(prefix="ncds_bench_cat_")
+        try:
+            catalog = SnapshotCatalog(cat_dir)
+            cfg = CrawlConfig(
+                iterations=iterations, max_per_host=100, window_ms=100_000
+            )
+            t0 = time.time()
+            summary = run_crawl(spark, catalog, fx, cfg)
+            wall = time.time() - t0
+            total_urls = sum(i["dequeued"] for i in summary["iterations"])
+            runs.append(
+                {
+                    "iterations": len(summary["iterations"]),
+                    "urls": total_urls,
+                    "sec": round(wall, 2),
+                    "urls_per_sec": round(total_urls / wall, 2) if wall else None,
+                }
+            )
+        finally:
+            shutil.rmtree(cat_dir, ignore_errors=True)
+    # median_low: always an actual run, so the rep detail stays coherent
+    med = statistics.median_low(r["urls_per_sec"] for r in runs)
+    rep = next(r for r in runs if r["urls_per_sec"] == med)
+    return {
+        "tier": tier,
+        **rep,
+        "all_urls_per_sec": [r["urls_per_sec"] for r in runs],
+    }
 
 
 def run_worker(cpus: str) -> dict:
