@@ -97,3 +97,72 @@ def test_stream_seen_dedup_across_microbatches(spark, tmp_path):
         by_iter.setdefault(r["iter"], set()).add(r["url_hash"])
     assert by_iter[0] == set(range(0, 100))
     assert by_iter[1] == set(range(100, 150))  # re-arrivals suppressed
+
+
+def test_stream_watermark_drops_too_late_events(spark, tmp_path):
+    """Watermark semantics exercised, not just configured: an event arriving
+    OLDER than the current watermark must be dropped from the windowed agg
+    (append mode), while on-time events count — the eviction contract that
+    bounds streaming state at corpus scale."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, ts_list):
+        # microsecond precision: pyarrow's default ns TIMESTAMP(NANOS) is
+        # unreadable as Spark timestamp_ntz
+        tbl = pa.table(
+            {
+                "ts": pa.array(pd.to_datetime(ts_list), type=pa.timestamp("us")),
+                "k": pa.array(["e"] * len(ts_list)),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, k string")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: two on-time events in the 10:00 window; a 10:21 event
+        # advances the watermark to 10:11 once the batch commits
+        write_batch("b1.parquet", ["2024-01-01 10:00", "2024-01-01 10:02",
+                                   "2024-01-01 10:21"])
+        q.processAllAvailable()
+        # batch 2: 10:01 arrives BEHIND the 10:11 watermark -> must be
+        # dropped; 10:40 is on time and advances the watermark to 10:30
+        write_batch("b2.parquet", ["2024-01-01 10:01", "2024-01-01 10:40"])
+        q.processAllAvailable()
+        # batch 3: flush — 11:30 pushes the watermark past every earlier
+        # window end so the finalized windows all emit
+        write_batch("b3.parquet", ["2024-01-01 11:30"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        str(r["window"]["start"])[11:16]: r["n"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the late 10:01 event did NOT land in the 10:00 window
+    assert got.get("10:00") == 2, got
+    assert got.get("10:20") == 1, got
+    assert got.get("10:40") == 1, got
+    # append mode emitted each finalized window exactly once
+    assert len(got) == len(spark.sql("SELECT * FROM late_out").collect())
