@@ -4,5 +4,12 @@ from nightcrawler_ds_pipeline_spark.streaming.image_ingest import (
 from nightcrawler_ds_pipeline_spark.streaming.politeness_stream import (
     streaming_token_bucket_dequeue,
 )
+from nightcrawler_ds_pipeline_spark.streaming.seen_stream import (
+    streaming_seen_filter,
+)
 
-__all__ = ["streaming_image_ingest", "streaming_token_bucket_dequeue"]
+__all__ = [
+    "streaming_image_ingest",
+    "streaming_seen_filter",
+    "streaming_token_bucket_dequeue",
+]

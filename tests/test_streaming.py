@@ -166,3 +166,89 @@ def test_stream_watermark_drops_too_late_events(spark, tmp_path):
     assert got.get("10:40") == 1, got
     # append mode emitted each finalized window exactly once
     assert len(got) == len(spark.sql("SELECT * FROM late_out").collect())
+
+
+def test_streaming_seen_filter_watermark_bounded(spark, tmp_path):
+    """streaming_seen_filter: canonicalize→xxhash64 seen key (the batch
+    loop's key, functions/urls.py) under dropDuplicatesWithinWatermark —
+    tracking-param variants suppressed within the horizon, state evicted
+    by the event-time watermark so a re-arrival after the horizon
+    re-admits (the streaming analogue of CrawlConfig.ttl_iters)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.functions.urls import canonicalize
+    from nightcrawler_ds_pipeline_spark.streaming import streaming_seen_filter
+
+    src = tmp_path / "url_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "url": pa.array([u for u, _ in rows]),
+                "event_ts": pa.array(
+                    pd.to_datetime([t for _, t in rows]), type=pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    stream = (
+        spark.readStream.schema("url string, event_ts timestamp_ntz")
+        .parquet(str(src))
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    )
+    out = streaming_seen_filter(stream, delay="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seen_wm_out")
+        .option("checkpointLocation", str(tmp_path / "seen_ckpt"))
+        .start()
+    )
+    A = "https://shop.example/p/1?utm_source=x"
+    A_variant = "https://shop.example/p/1?utm_source=other"  # same canonical
+    B = "https://other.example/q"
+    C = "https://late.example/r"
+    try:
+        # batch 1: A + its tracking-param variant (one keeper), B, and C
+        # at 10:30 which advances the watermark to 10:20 for batch 2
+        write_batch(
+            "b1.parquet",
+            [
+                (A, "2024-01-01 10:00"),
+                (A_variant, "2024-01-01 10:01"),
+                (B, "2024-01-01 10:02"),
+                (C, "2024-01-01 10:30"),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 2: A's state (10:00 + 10 min < watermark 10:20) is evicted
+        # -> re-admitted; C's state (10:30 + 10 min > 10:20) is live -> its
+        # near-duplicate is suppressed
+        write_batch(
+            "b2.parquet",
+            [(A, "2024-01-01 10:25"), (C + "?utm_medium=m", "2024-01-01 10:32")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT url, url_hash, host FROM seen_wm_out").collect()
+    from collections import Counter
+
+    by_host = Counter(r["host"] for r in rows)
+    # A emitted twice (once per horizon), B and C once each
+    assert by_host == {"shop.example": 2, "other.example": 1, "late.example": 1}
+    # the two A emissions carry the SAME url_hash (canonical key identity)
+    a_hashes = {r["url_hash"] for r in rows if r["host"] == "shop.example"}
+    assert len(a_hashes) == 1
+    # and it matches the batch path's key for the variant spelling
+    batch_hash = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(canonicalize(A_variant))).alias("h"))
+        .head()["h"]
+    )
+    assert a_hashes == {batch_hash}
