@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--source", required=True,
                     help="watched dir of input parquet files")
     ap.add_argument("--sink", required=True, help="output parquet dir")
+    ap.add_argument("--catalog", action="store_true",
+                    help="treat --sink as a SnapshotCatalog root and commit "
+                         "each micro-batch as one snapshot (exactly-once via "
+                         "stream_batch_id replay skip) into table "
+                         "'stream_results' — the resumable-table world the "
+                         "batch loop reads")
     ap.add_argument("--checkpoint", required=True,
                     help="checkpoint dir (state store + offsets; reuse to "
                          "resume exactly-once)")
@@ -75,12 +81,27 @@ def main() -> None:
         history = spark.read.parquet(args.history_parquet).select("phash")
 
     out = streaming_image_ingest(stream, history_phash=history)
-    writer = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", args.sink)
-        .option("checkpointLocation", args.checkpoint)
-    )
+    if args.catalog:
+        from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+        from nightcrawler_ds_pipeline_spark.streaming import catalog_stream_writer
+
+        catalog = SnapshotCatalog(args.sink)
+        writer = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(
+                catalog_stream_writer(
+                    catalog, "stream_results", meta={"origin": "stream_ingest"}
+                )
+            )
+            .option("checkpointLocation", args.checkpoint)
+        )
+    else:
+        writer = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", args.sink)
+            .option("checkpointLocation", args.checkpoint)
+        )
     if not args.follow:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
@@ -92,7 +113,16 @@ def main() -> None:
     finally:
         q.stop()
 
-    n_out = spark.read.parquet(args.sink).count() if os.path.isdir(args.sink) else 0
+    if args.catalog:
+        n_out = (
+            catalog.read(spark, "stream_results").count()
+            if catalog.exists("stream_results")
+            else 0
+        )
+    else:
+        n_out = (
+            spark.read.parquet(args.sink).count() if os.path.isdir(args.sink) else 0
+        )
     print(json.dumps({"sink_rows": n_out, "sink": args.sink}))
 
 

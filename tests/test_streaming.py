@@ -252,3 +252,64 @@ def test_streaming_seen_filter_watermark_bounded(spark, tmp_path):
         .head()["h"]
     )
     assert a_hashes == {batch_hash}
+
+
+def test_catalog_stream_writer_exactly_once(spark, tmp_path):
+    """foreachBatch → SnapshotCatalog: one snapshot per micro-batch stamped
+    with stream_batch_id; a REPLAYED batch (crash after catalog commit,
+    before checkpoint advance) is skipped, so the table is exactly-once.
+    Restart with the same checkpoint appends only the new micro-batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.streaming import (
+        catalog_stream_writer,
+        committed_stream_batch_max,
+    )
+
+    src = tmp_path / "cat_src"
+    src.mkdir()
+    catalog = SnapshotCatalog(str(tmp_path / "cat"))
+    writer = catalog_stream_writer(catalog, "results", meta={"origin": "stream"})
+
+    def write_input(name, ids):
+        pq.write_table(
+            pa.table({"image_id": pa.array([f"img{i:04d}" for i in ids])}),
+            src / name,
+        )
+
+    def run_drain():
+        stream = spark.readStream.schema("image_id string").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(tmp_path / "cat_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_input("b1.parquet", range(100))
+    run_drain()
+    assert catalog.read(spark, "results").count() == 100
+    b_max = committed_stream_batch_max(catalog, "results")
+    assert b_max >= 0
+
+    # simulate the replay crash-window: engine re-delivers the SAME batch id
+    replay_df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"img{i:04d}" for i in range(100)]})
+    )
+    writer(replay_df, b_max)
+    assert catalog.read(spark, "results").count() == 100  # skipped, not doubled
+    assert len(catalog.snapshots("results")) == 1
+
+    # restart from the same checkpoint with one new input file
+    write_input("b2.parquet", range(100, 130))
+    run_drain()
+    assert catalog.read(spark, "results").count() == 130
+    ids = [
+        s["meta"]["stream_batch_id"] for s in catalog.snapshots("results")
+    ]
+    assert ids == sorted(ids) and len(ids) == 2  # one snapshot per batch
+    assert all(s["meta"]["origin"] == "stream" for s in catalog.snapshots("results"))
