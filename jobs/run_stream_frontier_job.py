@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the composed STREAMING frontier flow:
+discovery URLs → watermark-bounded seen filter → per-host token-bucket
+politeness → exactly-once catalog commits (north_rule front half as a
+continuous pipeline; see streaming/frontier_flow.py for the two-stage
+architecture and SCALE.md §4c for state sizing).
+
+Local sandbox:
+    spark-submit --master 'local[32]' \
+        --py-files <(cd /root/repo && zip -r - nightcrawler_ds_pipeline_spark) \
+        jobs/run_stream_frontier_job.py --source /tmp/disc_in \
+        --work /tmp/frontier_admitted --sink /tmp/frontier_cat \
+        --checkpoint /tmp/frontier_ckpt
+
+Drop parquet files with schema (url string, event_ts timestamp_ntz,
+priority double, crawl_delay_ms long) into --source; each invocation
+drains everything available through both stages (availableNow) and
+exits — re-invoke with the same dirs to resume every state piece
+exactly-once (seen keys, hand-off files, token levels, committed
+micro-batches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="nightcrawler-ds-pipeline-spark streaming frontier flow"
+    )
+    ap.add_argument("--source", required=True,
+                    help="watched dir of discovery parquet files")
+    ap.add_argument("--work", required=True,
+                    help="stage hand-off dir (admitted URLs, exactly-once "
+                         "parquet file sink)")
+    ap.add_argument("--sink", required=True,
+                    help="SnapshotCatalog root; dequeued rows commit to "
+                         "table 'dequeued'")
+    ap.add_argument("--checkpoint", required=True,
+                    help="checkpoint root (admit/ and dequeue/ subdirs)")
+    ap.add_argument("--seen-horizon", default="1 hour",
+                    help="watermark delay bounding seen-state (re-admission "
+                         "after this horizon)")
+    ap.add_argument("--window-ms", type=int, default=None,
+                    help="politeness window per micro-batch")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="hard per-host dequeue cap")
+    args = ap.parse_args()
+
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.session import get_spark
+    from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
+
+    spark = get_spark(app_name="ncds-stream-frontier-job")
+    counts = run_streaming_frontier(
+        spark,
+        args.source,
+        args.work,
+        SnapshotCatalog(args.sink),
+        args.checkpoint,
+        delay=args.seen_horizon,
+        window_ms=args.window_ms,
+        max_per_host=args.max_per_host,
+    )
+    print(json.dumps({**counts, "sink": args.sink}))
+
+
+if __name__ == "__main__":
+    main()

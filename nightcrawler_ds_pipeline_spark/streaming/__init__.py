@@ -2,6 +2,9 @@ from nightcrawler_ds_pipeline_spark.streaming.catalog_sink import (
     catalog_stream_writer,
     committed_stream_batch_max,
 )
+from nightcrawler_ds_pipeline_spark.streaming.frontier_flow import (
+    run_streaming_frontier,
+)
 from nightcrawler_ds_pipeline_spark.streaming.image_ingest import (
     streaming_image_ingest,
 )
@@ -15,6 +18,7 @@ from nightcrawler_ds_pipeline_spark.streaming.seen_stream import (
 __all__ = [
     "catalog_stream_writer",
     "committed_stream_batch_max",
+    "run_streaming_frontier",
     "streaming_image_ingest",
     "streaming_seen_filter",
     "streaming_token_bucket_dequeue",

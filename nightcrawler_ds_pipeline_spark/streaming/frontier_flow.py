@@ -1,0 +1,119 @@
+"""End-to-end streaming frontier: discovery → seen-filter → politeness →
+catalog — the batch crawl loop's front half as a continuous flow.
+
+Two chained Structured Streaming queries, not one: Spark does not allow a
+custom stateful operator (``applyInPandasWithState``) downstream of
+another stateful operator (``dropDuplicatesWithinWatermark``) in a single
+query, and the two-stage shape is what a production deployment wants
+anyway — each stage restarts independently from its own checkpoint.
+
+- **Stage A (admit)**: file-stream of discovered URLs →
+  ``streaming_seen_filter`` (canonicalize→xxhash64 seen key, watermark-
+  bounded state) → exactly-once parquet file sink (``_spark_metadata``
+  commit log), which doubles as the replayable hand-off to stage B.
+- **Stage B (dequeue)**: file-stream over stage A's sink →
+  ``streaming_token_bucket_dequeue`` (per-host token buckets as group
+  state, one micro-batch = one politeness window) →
+  ``catalog_stream_writer`` commit into the SnapshotCatalog table
+  ``dequeued`` (exactly-once via stream_batch_id replay skip).
+
+Scale: stage A state ≈ arrival_rate × watermark horizon (SCALE.md §4c);
+stage B state is one counter per live host. Both stages shuffle once, on
+url_hash and host respectively — the same two shuffles the batch loop's
+probe/dequeue stages pay per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+from nightcrawler_ds_pipeline_spark.streaming.catalog_sink import (
+    catalog_stream_writer,
+)
+from nightcrawler_ds_pipeline_spark.streaming.politeness_stream import (
+    streaming_token_bucket_dequeue,
+)
+from nightcrawler_ds_pipeline_spark.streaming.seen_stream import (
+    streaming_seen_filter,
+)
+
+DISCOVERY_SCHEMA = (
+    "url string, event_ts timestamp_ntz, priority double, crawl_delay_ms long"
+)
+ADMITTED_SCHEMA = (
+    "iter int, host string, url_hash long, priority double, "
+    "crawl_delay_ms long, canonical_url string, event_ts timestamp"
+)
+
+
+def admitted_stream(spark: SparkSession, source_dir: str, delay: str) -> DataFrame:
+    """Stage A plan: discovery files → watermark-bounded seen filter."""
+    stream = (
+        spark.readStream.schema(DISCOVERY_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    )
+    return streaming_seen_filter(stream, delay=delay).select(
+        F.lit(0).alias("iter"),
+        "host",
+        "url_hash",
+        "priority",
+        "crawl_delay_ms",
+        "canonical_url",
+        "event_ts",
+    )
+
+
+def run_streaming_frontier(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    catalog: SnapshotCatalog,
+    checkpoint_root: str,
+    delay: str = "1 hour",
+    window_ms: int | None = None,
+    max_per_host: int | None = None,
+) -> dict:
+    """Drain both stages once (availableNow) and return counts.
+
+    Re-invoking with the same ``work_dir``/``checkpoint_root``/``catalog``
+    resumes every piece of state exactly-once: seen keys (stage A state
+    store), hand-off files (``_spark_metadata``), host token levels
+    (stage B state store) and committed micro-batches (catalog manifest).
+    """
+    qa = (
+        admitted_stream(spark, source_dir, delay)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", work_dir)
+        .option("checkpointLocation", f"{checkpoint_root}/admit")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination()
+
+    frontier = spark.readStream.schema(ADMITTED_SCHEMA).parquet(work_dir)
+    kw = {}
+    if window_ms is not None:
+        kw["window_ms"] = window_ms
+    if max_per_host is not None:
+        kw["max_per_host"] = max_per_host
+    qb = (
+        streaming_token_bucket_dequeue(frontier, **kw)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            catalog_stream_writer(catalog, "dequeued", meta={"origin": "frontier"})
+        )
+        .option("checkpointLocation", f"{checkpoint_root}/dequeue")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb.awaitTermination()
+
+    admitted = spark.read.parquet(work_dir).count()
+    dequeued = (
+        catalog.read(spark, "dequeued").count() if catalog.exists("dequeued") else 0
+    )
+    return {"admitted": admitted, "dequeued": dequeued}

@@ -313,3 +313,92 @@ def test_catalog_stream_writer_exactly_once(spark, tmp_path):
     ]
     assert ids == sorted(ids) and len(ids) == 2  # one snapshot per batch
     assert all(s["meta"]["origin"] == "stream" for s in catalog.snapshots("results"))
+
+
+def test_streaming_frontier_flow_end_to_end(spark, tmp_path):
+    """Composed streaming frontier (discovery → seen filter → token-bucket
+    dequeue → catalog): dup variants suppressed at admit, hot host clipped
+    to its politeness budget by priority, and a second drain resumes every
+    state piece — seen keys, hand-off files, token levels, committed
+    micro-batches."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
+
+    src = tmp_path / "disc"
+    src.mkdir()
+    catalog = SnapshotCatalog(str(tmp_path / "cat"))
+
+    def write_disc(name, rows):
+        # rows: (url, ts, priority, delay_ms)
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "event_ts": pa.array(
+                    pd.to_datetime([r[1] for r in rows]), type=pa.timestamp("us")
+                ),
+                "priority": pa.array([float(r[2]) for r in rows]),
+                "crawl_delay_ms": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    hot = [
+        (f"https://hot.example/p/{i}", "2024-01-01 10:00", i, 1000)
+        for i in range(1, 9)
+    ]
+    other = [
+        ("https://other.example/a", "2024-01-01 10:00", 1.0, 100),
+        ("https://other.example/b", "2024-01-01 10:00", 2.0, 100),
+    ]
+    dups = [  # tracking-param variants of hot/p/1 — one canonical key
+        ("https://hot.example/p/1?utm_source=x", "2024-01-01 10:01", 9.0, 1000),
+        ("https://hot.example/p/1?utm_source=y", "2024-01-01 10:02", 9.0, 1000),
+    ]
+    write_disc("d1.parquet", hot + other + dups)
+
+    def drain():
+        return run_streaming_frontier(
+            spark,
+            str(src),
+            str(tmp_path / "work"),
+            catalog,
+            str(tmp_path / "ck"),
+            delay="1 hour",
+            window_ms=3000,
+            max_per_host=100,
+        )
+
+    c1 = drain()
+    # hot/p/1 admitted once (first arrival wins; 2 variants suppressed)
+    assert c1["admitted"] == 10
+    # hot: budget = 3000ms // 1000ms = 3; other: 3000 // 100 = 30 -> both
+    assert c1["dequeued"] == 5
+    deq = catalog.read(spark, "dequeued").toPandas()
+    hot1 = deq[deq.host == "hot.example"].sort_values("rank_in_host")
+    assert list(hot1["priority"]) == [8.0, 7.0, 6.0]  # top-3 by priority
+    assert list(hot1["rank_in_host"]) == [1, 2, 3]
+
+    # drain 2: one already-seen URL + 4 new hot URLs
+    write_disc(
+        "d2.parquet",
+        [("https://hot.example/p/2?utm_medium=m", "2024-01-01 10:10", 9.0, 1000)]
+        + [
+            (f"https://hot.example/q/{i}", "2024-01-01 10:10", 10.0 + i, 1000)
+            for i in range(4)
+        ],
+    )
+    c2 = drain()
+    assert c2["admitted"] == 14  # +4 new only; p/2 variant suppressed
+    # token state carried: spent all 3000 in drain 1 -> available 3000
+    # again -> 3 of the 4 new hot rows pass, the lowest-priority one clipped
+    assert c2["dequeued"] == 8
+    deq2 = catalog.read(spark, "dequeued").toPandas()
+    q_rows = deq2[deq2.priority >= 10.0]
+    assert sorted(q_rows["priority"]) == [11.0, 12.0, 13.0]
+    # exactly-once catalog commits: monotone stream_batch_ids, one per batch
+    ids = [s["meta"]["stream_batch_id"] for s in catalog.snapshots("dequeued")]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
