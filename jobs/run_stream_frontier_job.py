@@ -51,6 +51,10 @@ def main() -> None:
                     help="politeness window per micro-batch")
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="hard per-host dequeue cap")
+    ap.add_argument("--carry-over", action="store_true",
+                    help="keep budget-clipped rows in per-host state so "
+                         "they compete in later drains (batch-loop "
+                         "rows-stay-in-frontier semantics)")
     args = ap.parse_args()
 
     from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
@@ -67,6 +71,7 @@ def main() -> None:
         delay=args.seen_horizon,
         window_ms=args.window_ms,
         max_per_host=args.max_per_host,
+        carry_over=args.carry_over,
     )
     print(json.dumps({**counts, "sink": args.sink}))
 

@@ -75,6 +75,7 @@ def run_streaming_frontier(
     delay: str = "1 hour",
     window_ms: int | None = None,
     max_per_host: int | None = None,
+    carry_over: bool = False,
 ) -> dict:
     """Drain both stages once (availableNow) and return counts.
 
@@ -95,7 +96,7 @@ def run_streaming_frontier(
     qa.awaitTermination()
 
     frontier = spark.readStream.schema(ADMITTED_SCHEMA).parquet(work_dir)
-    kw = {}
+    kw = {"carry_over": carry_over}
     if window_ms is not None:
         kw["window_ms"] = window_ms
     if max_per_host is not None:
