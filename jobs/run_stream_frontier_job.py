@@ -51,6 +51,10 @@ def main() -> None:
                     help="politeness window per micro-batch")
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="hard per-host dequeue cap")
+    ap.add_argument("--delay-lookup", default=None,
+                    help="static parquet (host, crawl_delay_ms) — the "
+                         "engine-owned robots crawl-delay cache, broadcast-"
+                         "joined per micro-batch; wins over feed delays")
     ap.add_argument("--carry-over", action="store_true",
                     help="keep budget-clipped rows in per-host state so "
                          "they compete in later drains (batch-loop "
@@ -62,6 +66,9 @@ def main() -> None:
     from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
 
     spark = get_spark(app_name="ncds-stream-frontier-job")
+    delay_lookup = (
+        spark.read.parquet(args.delay_lookup) if args.delay_lookup else None
+    )
     counts = run_streaming_frontier(
         spark,
         args.source,
@@ -72,6 +79,7 @@ def main() -> None:
         window_ms=args.window_ms,
         max_per_host=args.max_per_host,
         carry_over=args.carry_over,
+        delay_lookup=delay_lookup,
     )
     print(json.dumps({**counts, "sink": args.sink}))
 

@@ -48,14 +48,39 @@ ADMITTED_SCHEMA = (
 )
 
 
-def admitted_stream(spark: SparkSession, source_dir: str, delay: str) -> DataFrame:
-    """Stage A plan: discovery files → watermark-bounded seen filter."""
+def admitted_stream(
+    spark: SparkSession,
+    source_dir: str,
+    delay: str,
+    delay_lookup: DataFrame | None = None,
+) -> DataFrame:
+    """Stage A plan: discovery files → watermark-bounded seen filter.
+
+    ``delay_lookup``: optional STATIC (host, crawl_delay_ms) table — the
+    engine-owned politeness config (robots crawl-delay cache), same role
+    as the batch loop's config lookup (J5). Joined BROADCAST after the
+    seen filter (post-dedup, fewest rows; a stream-static equi-join is
+    re-looked-up per micro-batch, so a refreshed cache takes effect on the
+    next batch). Lookup wins over any feed-supplied delay; both absent →
+    the dequeue operator's default.
+    """
     stream = (
         spark.readStream.schema(DISCOVERY_SCHEMA)
         .parquet(source_dir)
         .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
     )
-    return streaming_seen_filter(stream, delay=delay).select(
+    admitted = streaming_seen_filter(stream, delay=delay)
+    if delay_lookup is not None:
+        lk = F.broadcast(
+            delay_lookup.select(
+                "host", F.col("crawl_delay_ms").alias("_lk_delay_ms")
+            )
+        )
+        admitted = admitted.join(lk, "host", "left").withColumn(
+            "crawl_delay_ms",
+            F.coalesce(F.col("_lk_delay_ms"), F.col("crawl_delay_ms")),
+        )
+    return admitted.select(
         F.lit(0).alias("iter"),
         "host",
         "url_hash",
@@ -76,6 +101,7 @@ def run_streaming_frontier(
     window_ms: int | None = None,
     max_per_host: int | None = None,
     carry_over: bool = False,
+    delay_lookup: DataFrame | None = None,
 ) -> dict:
     """Drain both stages once (availableNow) and return counts.
 
@@ -85,7 +111,7 @@ def run_streaming_frontier(
     (stage B state store) and committed micro-batches (catalog manifest).
     """
     qa = (
-        admitted_stream(spark, source_dir, delay)
+        admitted_stream(spark, source_dir, delay, delay_lookup=delay_lookup)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", work_dir)

@@ -402,3 +402,59 @@ def test_streaming_frontier_flow_end_to_end(spark, tmp_path):
     # exactly-once catalog commits: monotone stream_batch_ids, one per batch
     ids = [s["meta"]["stream_batch_id"] for s in catalog.snapshots("dequeued")]
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_streaming_frontier_delay_lookup_governs_budget(spark, tmp_path):
+    """delay_lookup (the engine-owned robots crawl-delay cache) is
+    broadcast-joined after the seen filter and WINS over feed-supplied
+    delays: per-host budgets follow the lookup."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
+
+    src = tmp_path / "dl_disc"
+    src.mkdir()
+    catalog = SnapshotCatalog(str(tmp_path / "dl_cat"))
+
+    rows = [
+        (f"https://fast.example/p/{i}", "2024-01-01 10:00", float(i)) for i in range(10)
+    ] + [
+        (f"https://slow.example/p/{i}", "2024-01-01 10:00", float(i)) for i in range(10)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "event_ts": pa.array(
+                    pd.to_datetime([r[1] for r in rows]), type=pa.timestamp("us")
+                ),
+                "priority": pa.array([r[2] for r in rows]),
+                # feed knows no delays — the engine's cache must govern
+                "crawl_delay_ms": pa.array([None] * len(rows), type=pa.int64()),
+            }
+        ),
+        src / "d1.parquet",
+    )
+    lookup = spark.createDataFrame(
+        [("fast.example", 100), ("slow.example", 5000)],
+        "host string, crawl_delay_ms long",
+    )
+    counts = run_streaming_frontier(
+        spark,
+        str(src),
+        str(tmp_path / "dl_work"),
+        catalog,
+        str(tmp_path / "dl_ck"),
+        delay="1 hour",
+        window_ms=10_000,
+        max_per_host=100,
+        delay_lookup=lookup,
+    )
+    assert counts["admitted"] == 20
+    deq = catalog.read(spark, "dequeued").toPandas()
+    per_host = deq.groupby("host").size().to_dict()
+    # budgets: fast 10000//100 = 100 -> all 10; slow 10000//5000 = 2
+    assert per_host == {"fast.example": 10, "slow.example": 2}
