@@ -25,6 +25,8 @@ probe/dequeue stages pay per iteration.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,6 +123,17 @@ def run_streaming_frontier(
     )
     qa.awaitTermination()
 
+    # empty discovery source: the file sink only materializes work_dir on
+    # its first committed batch, so there is nothing for stage B to read
+    # (or count) yet — report state instead of crashing on a missing path
+    if not os.path.isdir(work_dir):
+        dequeued0 = (
+            catalog.read(spark, "dequeued").count()
+            if catalog.exists("dequeued")
+            else 0
+        )
+        return {"admitted": 0, "dequeued": dequeued0}
+
     frontier = spark.readStream.schema(ADMITTED_SCHEMA).parquet(work_dir)
     kw = {"carry_over": carry_over}
     if window_ms is not None:
@@ -139,7 +152,9 @@ def run_streaming_frontier(
     )
     qb.awaitTermination()
 
-    admitted = spark.read.parquet(work_dir).count()
+    # explicit schema: a zero-row drain leaves _spark_metadata with no data
+    # files, which a schemaless batch read cannot infer from
+    admitted = spark.read.schema(ADMITTED_SCHEMA).parquet(work_dir).count()
     dequeued = (
         catalog.read(spark, "dequeued").count() if catalog.exists("dequeued") else 0
     )

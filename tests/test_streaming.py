@@ -458,3 +458,22 @@ def test_streaming_frontier_delay_lookup_governs_budget(spark, tmp_path):
     per_host = deq.groupby("host").size().to_dict()
     # budgets: fast 10000//100 = 100 -> all 10; slow 10000//5000 = 2
     assert per_host == {"fast.example": 10, "slow.example": 2}
+
+
+def test_streaming_frontier_empty_source_is_clean(spark, tmp_path):
+    """A drain over an empty discovery dir returns zero counts instead of
+    crashing on the not-yet-materialized hand-off dir (the file sink only
+    creates it on the first committed batch)."""
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
+
+    src = tmp_path / "empty_disc"
+    src.mkdir()
+    counts = run_streaming_frontier(
+        spark,
+        str(src),
+        str(tmp_path / "empty_work"),
+        SnapshotCatalog(str(tmp_path / "empty_cat")),
+        str(tmp_path / "empty_ck"),
+    )
+    assert counts == {"admitted": 0, "dequeued": 0}
