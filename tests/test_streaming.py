@@ -477,3 +477,69 @@ def test_streaming_frontier_empty_source_is_clean(spark, tmp_path):
         str(tmp_path / "empty_ck"),
     )
     assert counts == {"admitted": 0, "dequeued": 0}
+
+
+def test_streaming_seen_filter_rocksdb_state(spark, tmp_path):
+    """SCALE.md §4c sizes seen-filter state for RocksDB — prove the
+    provider works under dropDuplicatesWithinWatermark too: same dedup
+    result, checkpoint state dir carries RocksDB zips, not .delta files."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.streaming import streaming_seen_filter
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "rdb_src"
+        src.mkdir()
+        urls = [f"https://r.example/{i}?utm_source=a" for i in range(200)]
+        dups = [u.replace("=a", "=b") for u in urls[:80]]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls + dups),
+                    "event_ts": pa.array(
+                        pd.to_datetime(["2024-01-01 10:00"] * 280),
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+            src / "b1.parquet",
+        )
+        stream = (
+            spark.readStream.schema("url string, event_ts timestamp_ntz")
+            .parquet(str(src))
+            .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        )
+        q = (
+            streaming_seen_filter(stream, delay="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rdb_out")
+            .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.sql("SELECT count(*) c FROM rdb_out").head()["c"] == 200
+        state_files = [
+            p
+            for p in (tmp_path / "rdb_ckpt" / "state").rglob("*")
+            if p.is_file()
+        ]
+        assert any(p.suffix == ".zip" for p in state_files), state_files
+        assert not any(p.suffix == ".delta" for p in state_files)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
