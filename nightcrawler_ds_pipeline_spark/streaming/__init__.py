@@ -8,6 +8,9 @@ from nightcrawler_ds_pipeline_spark.streaming.frontier_flow import (
 from nightcrawler_ds_pipeline_spark.streaming.image_ingest import (
     streaming_image_ingest,
 )
+from nightcrawler_ds_pipeline_spark.streaming.join_streams import (
+    join_fetch_extract_streams,
+)
 from nightcrawler_ds_pipeline_spark.streaming.politeness_stream import (
     streaming_token_bucket_dequeue,
 )
@@ -18,6 +21,7 @@ from nightcrawler_ds_pipeline_spark.streaming.seen_stream import (
 __all__ = [
     "catalog_stream_writer",
     "committed_stream_batch_max",
+    "join_fetch_extract_streams",
     "run_streaming_frontier",
     "streaming_image_ingest",
     "streaming_seen_filter",

@@ -543,3 +543,86 @@ def test_streaming_seen_filter_rocksdb_state(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_stream_interval_join_fetch_extract(spark, tmp_path):
+    """Watermarked stream-stream join: extract events match their fetch
+    row only inside [fetch_ts, fetch_ts+5min]; with leftOuter, a fetch
+    whose partner never comes emits NULL-padded once the (global, min of
+    both sides) watermark proves no partner can arrive."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.streaming import (
+        join_fetch_extract_streams,
+    )
+
+    fsrc, esrc = tmp_path / "fsrc", tmp_path / "esrc"
+    fsrc.mkdir(), esrc.mkdir()
+
+    def write(dirp, name, ts_col, rows):
+        tbl = pa.table(
+            {
+                "image_id": pa.array([r[0] for r in rows]),
+                ts_col: pa.array(
+                    pd.to_datetime([r[1] for r in rows]), type=pa.timestamp("us")
+                ),
+                ("status" if ts_col == "fetch_ts" else "caption"): pa.array(
+                    [r[2] for r in rows]
+                ),
+            }
+        )
+        pq.write_table(tbl, dirp / name)
+
+    def mk_stream(dirp, ts_col, extra_col):
+        return (
+            spark.readStream.schema(
+                f"image_id string, {ts_col} timestamp_ntz, {extra_col} string"
+            )
+            .parquet(str(dirp))
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        )
+
+    joined = join_fetch_extract_streams(
+        mk_stream(fsrc, "fetch_ts", "status"),
+        mk_stream(esrc, "extract_ts", "caption"),
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    try:
+        write(fsrc, "f1.parquet", "fetch_ts", [
+            ("img1", "2024-01-01 10:00", "ok"),
+            ("img2", "2024-01-01 10:00", "ok"),
+            ("img3", "2024-01-01 10:00", "ok"),
+        ])
+        write(esrc, "e1.parquet", "extract_ts", [
+            ("img1", "2024-01-01 10:02", "a red vase"),   # inside the lag
+            ("img2", "2024-01-01 10:30", "too late"),      # outside 5 min
+        ])
+        q.processAllAvailable()
+        # advance BOTH watermarks far enough to close every fetch row's
+        # join window (10:00 + 5min lag + 10min watermark < 11:00)
+        write(fsrc, "f2.parquet", "fetch_ts", [("tick", "2024-01-01 11:00", "ok")])
+        write(esrc, "e2.parquet", "extract_ts", [("tick2", "2024-01-01 11:00", "x")])
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT image_id, status, caption FROM ss_join_out"
+    ).collect()
+    by_id = {r["image_id"]: r["caption"] for r in rows}
+    assert by_id.get("img1") == "a red vase"       # matched inside interval
+    assert by_id.get("img2") is None               # partner outside interval
+    assert by_id.get("img3") is None               # no partner at all
+    assert "img1" in by_id and "img2" in by_id and "img3" in by_id
+    # exactly one output row per fetch row (no duplicate matches)
+    assert sum(r["image_id"].startswith("img") for r in rows) == 3
