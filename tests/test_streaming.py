@@ -626,3 +626,57 @@ def test_stream_stream_interval_join_fetch_extract(spark, tmp_path):
     assert "img1" in by_id and "img2" in by_id and "img3" in by_id
     # exactly one output row per fetch row (no duplicate matches)
     assert sum(r["image_id"].startswith("img") for r in rows) == 3
+
+
+def test_multi_stateful_dedup_then_windowed_agg_single_query(spark, tmp_path):
+    """Spark 4 chains SOME stateful operators in one append-mode query:
+    dropDuplicatesWithinWatermark → windowed count works (this test), while
+    a custom applyInPandasWithState op cannot follow another stateful op —
+    which is exactly why frontier_flow splits into two queries."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "ms_src"
+    src.mkdir()
+    rows = [(i % 50, "2024-01-01 10:00") for i in range(200)]  # 4x dups
+    rows += [(100 + i, "2024-01-01 10:07") for i in range(30)]  # 2nd window
+    rows += [(999, "2024-01-01 11:00")]  # flush ticker
+    pq.write_table(
+        pa.table(
+            {
+                "url_hash": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime([r[1] for r in rows]), type=pa.timestamp("us")
+                ),
+            }
+        ),
+        src / "b1.parquet",
+    )
+    stream = (
+        spark.readStream.schema("url_hash long, ts timestamp_ntz")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["url_hash"])
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ms_out")
+        .option("checkpointLocation", str(tmp_path / "ms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        str(r["window"]["start"])[11:16]: r["n"]
+        for r in spark.sql("SELECT * FROM ms_out").collect()
+    }
+    # dedup upstream of the agg: 200 arrivals -> 50 distinct in 10:00
+    assert got.get("10:00") == 50, got
+    assert got.get("10:05") == 30, got
