@@ -1,34 +1,43 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE compact JSON line (the driver captures only
+the last ~2000 chars of stdout — r4's line overflowed it and parsed null):
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "crawl": {...}, "scaling": {...}}
+   "crawl": {...}, "scaling": {...}, "detail_file": "BENCH_DETAIL.json"}
+Per-rep detail (queries_all_runs, crawl reps, per-pair scaling traces, stage
+profiles) goes to the BENCH_DETAIL.json sidecar next to this file.
 
 - headline operator queries run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
   local[$SPARK_GRAFT_CPUS] (default 32); each query reports the warm
   median of $SPARK_GRAFT_HEADLINE_REPS (default 3) full re-executions
   (noop sink, no caching) — single-run numbers swing 1.2-1.9× with host
-  contention on this box (BASELINE.md); per-rep detail in
-  "queries_all_runs"
+  contention on this box (BASELINE.md)
 - crawl throughput (URLs fetched+deduped/sec, the BASELINE.json metric) runs
   the full crawl loop on the t2 fixture tier, median of
   $SPARK_GRAFT_CRAWL_REPS (default 3) complete runs on fresh catalogs
-- scaling: the same crawl job at local[8] and local[32] (sandbox stand-in
-  for N vs 4N executors; BASELINE.json requires efficiency ≥ 0.8) — run in
-  subprocesses so each gets a fresh JVM. Skipped when SPARK_GRAFT_BENCH_FAST=1.
+- scaling: the same crawl mega-batch at local[8] and local[32] (sandbox
+  stand-in for N vs 4N executors; BASELINE.json requires efficiency ≥ 0.8).
+  Both levels run as PERSISTENT warm-JVM subprocesses and the reps
+  INTERLEAVE (probe8,run8,probe32,run32)×REPS so each pair samples the same
+  host-contention window — r4's gate miss traced to the two legs running
+  minutes apart under drifting contention. The gate number is the median of
+  the per-pair efficiencies. Skipped when SPARK_GRAFT_BENCH_FAST=1.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import selectors
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+DETAIL_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 HEADLINE = [
     "agg_pricing_summary",
@@ -45,7 +54,7 @@ HEADLINE = [
     "text_lang_quality",
     "robots_parse",
     # round 4: the flagship end-to-end curation chain (lang → quality →
-    # Gopher → exact dedup → span-dup gate → LSH → CC); ~10-16 s at sf0.1
+    # Gopher → exact dedup → span-dup gate → LSH → CC); ~7-16 s at sf0.1
     "corpus_curation",
     # round 4: the image-axis path — exact phash dedup + Manku 28-combo
     # hamming-band near-dup + CC groups over the t1 image fixture
@@ -67,7 +76,6 @@ def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
     "all_urls_per_sec"."""
     import shutil
     import statistics
-    import tempfile
 
     from nightcrawler_ds_pipeline_spark.crawl.loop import CrawlConfig, run_crawl
     from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
@@ -107,15 +115,13 @@ def crawl_throughput(spark, tier: str = "t2", iterations: int = 3) -> dict:
     }
 
 
-def run_worker(cpus: str) -> dict:
-    """Scaling subprocess: the steady-state crawl mega-batch (probe →
-    anti-join → dequeue → decode+phash → edge canonicalize) at
-    local[cpus], reading pre-materialized parquet inputs (built untimed on
-    first use, identical bytes at every parallelism level). One warmup
-    pass (JIT + page cache) then the measured runs; per-stage profile
-    after the reps attributes where the time goes."""
-    import os
-
+def worker_serve(cpus: str) -> None:
+    """Persistent scaling worker: one warm JVM + materialized inputs, then
+    newline-delimited commands on stdin (probe / run / profile / quit), one
+    JSON line on stdout per command. Persistence lets the coordinator
+    interleave the 8- and 32-leg reps — the r4 cross-leg host-drift fix —
+    while keeping the FULL-SIZE warmup (removing it re-introduces a ~15%
+    cold-rep bias, BASELINE.md)."""
     from nightcrawler_ds_pipeline_spark.crawl.scaling import (
         hw_ceiling_probe,
         profile_scaling_stages,
@@ -125,7 +131,6 @@ def run_worker(cpus: str) -> dict:
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     n = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "2000000"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     # shuffle to tmpfs when available: one box shares ONE disk across all
     # cores (4× cores → 4× contention on the same spindle), while a real
     # N→4N cluster adds a local NVMe per node; tmpfs mirrors the per-node
@@ -139,18 +144,23 @@ def run_worker(cpus: str) -> dict:
     ab = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
     if ab:
         extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = ab
-    # the sandbox VM has time-varying host contention: take the median of
-    # several measured runs in one warm JVM, and probe raw capacity before
-    # AND after (max = closest to true capacity at this level)
-    hw_before = hw_ceiling_probe((int(cpus),))[int(cpus)]
     spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus, extra_conf=extra)
-    # FULL-SIZE warmup: a single n/10 pass leaves codegen/JIT + python
-    # workers + input page cache cold enough that the first measured reps
-    # read ~15% slow (observed: the same job re-measured at the end of a
-    # warm JVM ran 110.6 s vs a 126.6 s rep-median at local[8])
+    # FULL-SIZE warmup: codegen/JIT + python workers + input page cache
     run_scaling_workload(spark, n_urls=n)
-    runs = [run_scaling_workload(spark, n_urls=n) for _ in range(reps)]
-    profile = profile_scaling_stages(spark, n_urls=n)
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "run":
+            print(json.dumps(run_scaling_workload(spark, n_urls=n)), flush=True)
+        elif cmd == "probe":
+            # colocated capacity probe: plain-multiprocessing fetch+decode
+            # kernel at this level, measured inside this leg's window
+            p = hw_ceiling_probe((int(cpus),))[int(cpus)]
+            print(json.dumps({"hw_units_per_sec": p}), flush=True)
+        elif cmd == "profile":
+            print(json.dumps(profile_scaling_stages(spark, n_urls=n)), flush=True)
+        else:
+            break
     spark.stop()
     if "spark.local.dir" in extra:
         import shutil
@@ -158,69 +168,146 @@ def run_worker(cpus: str) -> dict:
         # Spark empties its own blockmgr dirs on stop; this catches the
         # crashed-run case so tmpfs (RAM) never accumulates across rounds
         shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
-    hw_after = hw_ceiling_probe((int(cpus),))[int(cpus)]
-    runs.sort(key=lambda r: r["urls_per_sec"])
-    out = dict(runs[len(runs) // 2])  # median by throughput
-    out["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
-    out["hw_units_per_sec"] = max(hw_before, hw_after)
-    out["stage_profile"] = profile
-    return out
+
+
+class _ScalingWorker:
+    """Coordinator-side handle on one persistent --worker-serve subprocess."""
+
+    def __init__(self, cpus: str):
+        self.cpus = cpus
+        self.errlog = tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"ncds_scaling_err_{cpus}_", suffix=".log", delete=False
+        )
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker-serve", cpus],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=self.errlog,
+            text=True,
+        )
+        self.sel = selectors.DefaultSelector()
+        self.sel.register(self.proc.stdout, selectors.EVENT_READ)
+
+    def _fail(self, what: str) -> RuntimeError:
+        self.errlog.flush()
+        try:
+            with open(self.errlog.name) as f:
+                tail = f.read()[-400:]
+        except OSError:
+            tail = ""
+        return RuntimeError(
+            f"scaling worker local[{self.cpus}] {what} "
+            f"(rc={self.proc.poll()}); stderr tail: {tail}"
+        )
+
+    def read_json(self, timeout: float) -> dict:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if not self.sel.select(timeout=min(5.0, deadline - time.time())):
+                if self.proc.poll() is not None:
+                    raise self._fail("died")
+                continue
+            line = self.proc.stdout.readline()
+            if not line:
+                raise self._fail("closed stdout")
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue  # stray non-JSON stdout line; keep waiting
+        raise self._fail(f"timed out after {timeout}s")
+
+    def cmd(self, command: str, timeout: float) -> dict:
+        self.proc.stdin.write(command + "\n")
+        self.proc.stdin.flush()
+        return self.read_json(timeout)
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+        self.sel.close()
+        self.errlog.close()
+        try:
+            os.unlink(self.errlog.name)
+        except OSError:
+            pass
 
 
 def scaling_runs() -> dict:
-    """Same job, same input, two parallelism levels → scaling efficiency."""
-    results = {}
-    for cpus in ("8", "32"):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--worker", cpus],
-            capture_output=True,
-            text=True,
-            timeout=2400,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-        try:
-            parsed = json.loads(line)
-        except ValueError:
-            parsed = {}
-        if not parsed:
-            # a silently-dead worker must be attributable, not a row of nulls
-            parsed = {
-                "error": f"worker rc={proc.returncode}",
-                "stderr_tail": (proc.stderr or "")[-400:],
-            }
-        results[f"local[{cpus}]"] = parsed
-    t8 = results["local[8]"].get("urls_per_sec") or 0
-    t32 = results["local[32]"].get("urls_per_sec") or 0
-    # N → 4N cores on identical input; efficiency = speedup / 4 (target ≥0.8)
-    speedup = (t32 / t8) if t8 else None
-    eff = speedup / 4.0 if speedup else None
-    # single-box hardware ceiling: same kernel under plain multiprocessing,
-    # measured INSIDE each worker (colocated with that level's noise).
-    # One box can't add memory bandwidth with cores the way a cluster adds
-    # machines; spark_layer_efficiency = how much of the box's achievable
-    # scaling the engine captures (the number that transfers to N→4N nodes).
-    hw = {
-        8: results["local[8]"].get("hw_units_per_sec"),
-        32: results["local[32]"].get("hw_units_per_sec"),
-    }
-    hw_speedup = hw[32] / hw[8] if hw.get(8) and hw.get(32) else None
+    """Same job, same input, two parallelism levels → scaling efficiency.
+
+    Interleaved pairs: (probe8, run8, probe32, run32) × REPS against warm
+    persistent workers, so both legs of each pair sample the same
+    host-contention window. The gate fields are medians of the PER-PAIR
+    ratios (each pair's drift cancels within the pair); per-leg medians are
+    reported too for continuity with earlier rounds."""
+    import statistics
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+    # SEQUENTIAL startup: the 8-leg's warmup materializes the shared input
+    # dir (prepare_scaling_inputs); starting both at once races two
+    # generators on the same parquet paths and kills a worker mid-read.
+    w8 = _ScalingWorker("8")
+    pairs, detail = [], {"local[8]": {"runs": []}, "local[32]": {"runs": []}}
+    w32 = None
+    try:
+        w8.read_json(timeout=1800)
+        w32 = _ScalingWorker("32")
+        w32.read_json(timeout=1800)
+        for _ in range(reps):
+            p8 = w8.cmd("probe", 600)["hw_units_per_sec"]
+            r8 = w8.cmd("run", 1800)
+            p32 = w32.cmd("probe", 600)["hw_units_per_sec"]
+            r32 = w32.cmd("run", 1800)
+            t8, t32 = r8["urls_per_sec"], r32["urls_per_sec"]
+            speedup = t32 / t8
+            hw_speedup = p32 / p8
+            pairs.append(
+                {
+                    "t8": t8,
+                    "t32": t32,
+                    "probe8": p8,
+                    "probe32": p32,
+                    "speedup": round(speedup, 3),
+                    "efficiency_vs_4x": round(speedup / 4.0, 3),
+                    "hw_speedup": round(hw_speedup, 3),
+                    "spark_layer_efficiency": round(speedup / hw_speedup, 3),
+                }
+            )
+            detail["local[8]"]["runs"].append(r8)
+            detail["local[32]"]["runs"].append(r32)
+        detail["local[8]"]["stage_profile"] = w8.cmd("profile", 1800)
+        detail["local[32]"]["stage_profile"] = w32.cmd("profile", 1800)
+    finally:
+        w8.quit()
+        if w32 is not None:
+            w32.quit()
+    med = lambda k: round(statistics.median(p[k] for p in pairs), 3)
     return {
-        "throughput_local8": t8,
-        "throughput_local32": t32,
-        "speedup_8_to_32": round(speedup, 3) if speedup else None,
-        "efficiency_vs_4x": round(eff, 3) if eff is not None else None,
-        "hw_ceiling_units_per_sec": hw,
-        "hw_speedup_8_to_32": round(hw_speedup, 3) if hw_speedup else None,
-        "spark_layer_efficiency": (
-            round(speedup / hw_speedup, 3) if speedup and hw_speedup else None
-        ),
-        "detail": results,
+        "throughput_local8": med("t8"),
+        "throughput_local32": med("t32"),
+        "speedup_8_to_32": med("speedup"),
+        "efficiency_vs_4x": med("efficiency_vs_4x"),
+        "hw_probe_8": [p["probe8"] for p in pairs],
+        "hw_probe_32": [p["probe32"] for p in pairs],
+        "hw_speedup_8_to_32": med("hw_speedup"),
+        "spark_layer_efficiency": med("spark_layer_efficiency"),
+        "pair_efficiencies": [p["efficiency_vs_4x"] for p in pairs],
+        "pair_spark_layer": [p["spark_layer_efficiency"] for p in pairs],
+        "pairs": pairs,
+        "detail": detail,
     }
 
 
 def main() -> None:
-    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        print(json.dumps(run_worker(sys.argv[2])))
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker-serve":
+        worker_serve(sys.argv[2])
         return
 
     from nightcrawler_ds_pipeline_spark.session import get_spark
@@ -265,9 +352,29 @@ def main() -> None:
         try:
             scaling = scaling_runs()
         except Exception as ex:  # never fail the bench line
-            scaling = {"error": str(ex)[:200]}
+            scaling = {"error": str(ex)[:400]}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-rep detail → sidecar (the driver captures only the last
+    # ~2000 chars of stdout; r4's all-in-one line overflowed it)
+    crawl_compact = {k: v for k, v in crawl.items() if k != "all_urls_per_sec"}
+    scaling_compact = {
+        k: v for k, v in scaling.items() if k not in ("pairs", "detail")
+    }
+    with open(DETAIL_FILE, "w") as f:
+        json.dump(
+            {
+                "sf": sf_val,
+                "queries": timings,
+                "queries_all_runs": runs_detail,
+                "queries_reps": reps,
+                "crawl": crawl,
+                "scaling": scaling,
+            },
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -275,11 +382,11 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": timings,
-                "queries_all_runs": runs_detail,
                 "queries_reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl": crawl,
-                "scaling": scaling,
+                "sf": sf_val,
+                "crawl": crawl_compact,
+                "scaling": scaling_compact,
+                "detail_file": os.path.basename(DETAIL_FILE),
             }
         )
     )

@@ -55,6 +55,10 @@ def main() -> None:
                     help="static parquet (host, crawl_delay_ms) — the "
                          "engine-owned robots crawl-delay cache, broadcast-"
                          "joined per micro-batch; wins over feed delays")
+    ap.add_argument("--max-pending-per-host", type=int, default=None,
+                    help="carry-over pending-queue cap per host; evictions "
+                         "commit to the 'overflow' table (re-discovery), "
+                         "never to 'dequeued'")
     ap.add_argument("--carry-over", action="store_true",
                     help="keep budget-clipped rows in per-host state so "
                          "they compete in later drains (batch-loop "
@@ -79,6 +83,7 @@ def main() -> None:
         window_ms=args.window_ms,
         max_per_host=args.max_per_host,
         carry_over=args.carry_over,
+        max_pending_per_host=args.max_pending_per_host,
         delay_lookup=delay_lookup,
     )
     print(json.dumps({**counts, "sink": args.sink}))

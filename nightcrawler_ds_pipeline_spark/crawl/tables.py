@@ -282,7 +282,21 @@ class SnapshotCatalog:
         dead = [s for s in snaps if _expired(s)]
         if not dead:
             return 0
-        self._commit_manifest(table, [s for s in snaps if not _expired(s)])
+        kept = [s for s in snaps if not _expired(s)]
+        # preserve the streaming exactly-once watermark (see compact): if an
+        # expired snapshot held the max stream_batch_id, stamp it onto the
+        # newest surviving snapshot before the dead entries vanish.
+        dead_sb = max((s["meta"].get("stream_batch_id", -1) for s in dead), default=-1)
+        if dead_sb >= 0 and kept:
+            kept_sb = max(
+                (s["meta"].get("stream_batch_id", -1) for s in kept), default=-1
+            )
+            if dead_sb > kept_sb:
+                kept[-1] = {
+                    **kept[-1],
+                    "meta": {**kept[-1]["meta"], "stream_batch_id": dead_sb},
+                }
+        self._commit_manifest(table, kept)
         for s in dead:
             shutil.rmtree(s["dir"], ignore_errors=True)
         return len(dead)
@@ -352,11 +366,20 @@ class SnapshotCatalog:
         if num_files is None:
             num_files = max(1, spark.sparkContext.defaultParallelism)
         max_it = max(s["meta"].get("iter", -1) for s in snaps)
+        meta = {"iter": max_it, "compacted_from": [s["id"] for s in live]}
+        # exactly-once streaming sinks (streaming/catalog_sink.py) key their
+        # replay skip off max(meta.stream_batch_id) over the manifest; carry
+        # it through the overwrite so vacuum/expire of the absorbed append
+        # snapshots cannot reset the watermark and re-admit a replayed
+        # micro-batch after a crash between sink commit and checkpoint.
+        max_sb = max((s["meta"].get("stream_batch_id", -1) for s in snaps), default=-1)
+        if max_sb >= 0:
+            meta["stream_batch_id"] = max_sb
         snap_id = self.write(
             df.coalesce(num_files),
             table,
             mode="overwrite",
-            meta={"iter": max_it, "compacted_from": [s["id"] for s in live]},
+            meta=meta,
         )
         if vacuum:
             snaps = self._load_manifest(table)

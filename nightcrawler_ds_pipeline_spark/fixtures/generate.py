@@ -322,6 +322,14 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
         retired = f"{out}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
             os.rename(out, retired)
+            # os.rename does NOT touch the directory's own mtime, so the
+            # sweep below would otherwise measure time-since-GENERATION and
+            # immediately reap a cache that was retired seconds ago (caches
+            # persist across sessions, so they are normally hours old).
+            # Stamp retirement time explicitly: the 1-hour grace then
+            # measures time since retirement, keeping the in-flight-reader
+            # guarantee the rename-only scheme was written for.
+            os.utime(retired)
         except OSError:
             pass
         import time

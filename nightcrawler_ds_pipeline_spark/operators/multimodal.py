@@ -240,7 +240,58 @@ def media_decode_stats(spark, sf_dir):
     )
 
 
-@register("image_phash_suite")
+# All three legs consume the fixture's STORED phash column — pure
+# relational algebra over int64, so a full DuckDB value-hash oracle exists
+# (VERDICT r4 #4). The near-dup leg's oracle is deliberately ALL-PAIRS
+# (500 t1 images → 125k pairs, trivial in DuckDB) rather than a mirror of
+# the engine's 28-combo Manku banding: hamming = bit_count(xor) on both
+# sides, so a hash match also re-proves the banding's pigeonhole
+# completeness for the ≤6 threshold against an algorithm-independent
+# ground truth. Groups leg: min-label reachability recursive CTE over the
+# same pair set (the dedup_connected_components oracle pattern); the
+# engine's CC labels by min node id, and only pair endpoints are labeled
+# (nodes=None), mirrored by building nodes from the edge set.
+_PHASH_SUITE_ORACLE = f"""
+WITH RECURSIVE imgs AS (
+  SELECT image_id, phash
+  FROM read_parquet('{_fixture_dir("t1")}/images.parquet')
+  WHERE phash <> 0
+),
+near AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+),
+exact AS (
+  SELECT phash, COUNT(*) AS group_size, MIN(image_id) AS keep_id
+  FROM imgs GROUP BY phash HAVING COUNT(*) > 1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM near
+  UNION ALL SELECT id_b, id_a FROM near
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.n
+),
+comp AS (SELECT n, MIN(lbl) AS group_id FROM reach GROUP BY n)
+SELECT part, k1, k2, n FROM (
+  SELECT 'exact' AS part, CAST(phash AS VARCHAR) AS k1, keep_id AS k2,
+         CAST(group_size AS BIGINT) AS n
+  FROM exact
+  UNION ALL
+  SELECT 'neardup', id_a, id_b, CAST(hamming AS BIGINT) FROM near
+  UNION ALL
+  SELECT 'groups', n, group_id, CAST(-1 AS BIGINT) FROM comp
+)
+ORDER BY part, k1, k2
+"""
+
+
+@register("image_phash_suite", oracle=_PHASH_SUITE_ORACLE)
 def image_phash_suite(spark, sf_dir):
     from nightcrawler_ds_pipeline_spark.operators.components import (
         image_phash_groups,

@@ -35,6 +35,7 @@ from nightcrawler_ds_pipeline_spark.streaming.catalog_sink import (
     catalog_stream_writer,
 )
 from nightcrawler_ds_pipeline_spark.streaming.politeness_stream import (
+    OVERFLOW_RANK,
     streaming_token_bucket_dequeue,
 )
 from nightcrawler_ds_pipeline_spark.streaming.seen_stream import (
@@ -103,9 +104,13 @@ def run_streaming_frontier(
     window_ms: int | None = None,
     max_per_host: int | None = None,
     carry_over: bool = False,
+    max_pending_per_host: int | None = None,
     delay_lookup: DataFrame | None = None,
 ) -> dict:
-    """Drain both stages once (availableNow) and return counts.
+    """Drain both stages once (availableNow) and return counts
+    (``admitted`` / ``dequeued`` / ``overflow``). With ``carry_over=True``
+    pending-cap evictions are committed to the separate ``overflow`` table
+    (candidates for re-discovery), never to ``dequeued``.
 
     Re-invoking with the same ``work_dir``/``checkpoint_root``/``catalog``
     resumes every piece of state exactly-once: seen keys (stage A state
@@ -126,13 +131,15 @@ def run_streaming_frontier(
     # empty discovery source: the file sink only materializes work_dir on
     # its first committed batch, so there is nothing for stage B to read
     # (or count) yet — report state instead of crashing on a missing path
+    def _count(table: str) -> int:
+        return catalog.read(spark, table).count() if catalog.exists(table) else 0
+
     if not os.path.isdir(work_dir):
-        dequeued0 = (
-            catalog.read(spark, "dequeued").count()
-            if catalog.exists("dequeued")
-            else 0
-        )
-        return {"admitted": 0, "dequeued": dequeued0}
+        return {
+            "admitted": 0,
+            "dequeued": _count("dequeued"),
+            "overflow": _count("overflow"),
+        }
 
     frontier = spark.readStream.schema(ADMITTED_SCHEMA).parquet(work_dir)
     kw = {"carry_over": carry_over}
@@ -140,12 +147,41 @@ def run_streaming_frontier(
         kw["window_ms"] = window_ms
     if max_per_host is not None:
         kw["max_per_host"] = max_per_host
+    if max_pending_per_host is not None:
+        kw["max_pending_per_host"] = max_pending_per_host
+
+    deq_writer = catalog_stream_writer(
+        catalog, "dequeued", meta={"origin": "frontier"}
+    )
+    ovf_writer = catalog_stream_writer(
+        catalog, "overflow", meta={"origin": "frontier"}
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        # pending-cap evictions (rank_in_host == OVERFLOW_RANK) are NOT
+        # dequeues: route them to their own 'overflow' table so a consumer
+        # fetching from 'dequeued' never crawls budget-evicted URLs. Each
+        # table keeps its own stream_batch_id watermark, so a crash between
+        # the two commits replays idempotently (dequeued skips, overflow
+        # re-writes). Empty overflow batches are skipped — no manifest
+        # bloat, and skipping cannot double-commit (only the LAST batch
+        # replays and it would be empty again).
+        if not carry_over:
+            deq_writer(df, batch_id)
+            return
+        df = df.persist()
+        try:
+            deq_writer(df.filter(F.col("rank_in_host") != OVERFLOW_RANK), batch_id)
+            ovf = df.filter(F.col("rank_in_host") == OVERFLOW_RANK)
+            if not ovf.isEmpty():
+                ovf_writer(ovf, batch_id)
+        finally:
+            df.unpersist()
+
     qb = (
         streaming_token_bucket_dequeue(frontier, **kw)
         .writeStream.outputMode("append")
-        .foreachBatch(
-            catalog_stream_writer(catalog, "dequeued", meta={"origin": "frontier"})
-        )
+        .foreachBatch(write_batch)
         .option("checkpointLocation", f"{checkpoint_root}/dequeue")
         .trigger(availableNow=True)
         .start()
@@ -155,7 +191,8 @@ def run_streaming_frontier(
     # explicit schema: a zero-row drain leaves _spark_metadata with no data
     # files, which a schemaless batch read cannot infer from
     admitted = spark.read.schema(ADMITTED_SCHEMA).parquet(work_dir).count()
-    dequeued = (
-        catalog.read(spark, "dequeued").count() if catalog.exists("dequeued") else 0
-    )
-    return {"admitted": admitted, "dequeued": dequeued}
+    return {
+        "admitted": admitted,
+        "dequeued": _count("dequeued"),
+        "overflow": _count("overflow"),
+    }

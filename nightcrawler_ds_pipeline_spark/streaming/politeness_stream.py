@@ -86,17 +86,21 @@ def streaming_token_bucket_dequeue(
             return available, max_per_host
         return available, max(0, min(max_per_host, available // delay))
 
+    def _first_delay(pdf: pd.DataFrame, fallback: int) -> int:
+        # first NON-NULL value: under frontier_flow's coalesce(lookup, feed)
+        # a host's micro-batch can open with a NULL crawl_delay_ms while a
+        # later row carries one — int(NaN) would raise inside the stateful
+        # UDF and fail the whole micro-batch
+        s = pdf["crawl_delay_ms"].dropna()
+        return int(s.iloc[0]) if len(s) else fallback
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         host = key[0]
         pdf = pd.concat(list(pdfs), ignore_index=True)
         tokens = int(state.get[0]) if state.exists else 0
-        delay = (
-            int(pdf["crawl_delay_ms"].iloc[0])
-            if pdf["crawl_delay_ms"].notna().any()
-            else DEFAULT_CRAWL_DELAY_MS
-        )
+        delay = _first_delay(pdf, DEFAULT_CRAWL_DELAY_MS)
         available, budget = _budget(tokens, delay)
         ordered = pdf.sort_values(
             ["priority", "url_hash"], ascending=[False, True]
@@ -130,8 +134,8 @@ def streaming_token_bucket_dequeue(
             fresh = pending.iloc[0:0]
         else:
             fresh = pd.concat(list(pdfs), ignore_index=True)
-            if len(fresh) and fresh["crawl_delay_ms"].notna().any():
-                delay = int(fresh["crawl_delay_ms"].iloc[0])
+            if len(fresh):
+                delay = _first_delay(fresh, delay)
             fresh = fresh[["iter", "url_hash", "priority"]]
         merged = pd.concat([pending, fresh], ignore_index=True).sort_values(
             ["priority", "url_hash"], ascending=[False, True]

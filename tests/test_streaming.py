@@ -314,6 +314,42 @@ def test_catalog_stream_writer_exactly_once(spark, tmp_path):
     assert ids == sorted(ids) and len(ids) == 2  # one snapshot per batch
     assert all(s["meta"]["origin"] == "stream" for s in catalog.snapshots("results"))
 
+    # compaction (even with vacuum) must carry the stream_batch_id
+    # watermark into the surviving overwrite snapshot: a crash-replay after
+    # compaction would otherwise see max = -1 and append the last
+    # micro-batch a second time, breaking the exactly-once contract
+    b_max2 = committed_stream_batch_max(catalog, "results")
+    assert b_max2 > b_max
+    catalog.compact(spark, "results", vacuum=True)
+    assert len(catalog.snapshots("results")) == 1
+    assert committed_stream_batch_max(catalog, "results") == b_max2
+    writer(replay_df, b_max2)
+    assert catalog.read(spark, "results").count() == 130
+
+
+def test_expire_snapshots_preserves_stream_batch_watermark(spark, tmp_path):
+    """expire_snapshots dropping superseded streaming appends must stamp
+    their max stream_batch_id onto a surviving snapshot — here the
+    superseding overwrite carries no batch id of its own (it did not come
+    from compact), so without the carry-forward the watermark resets."""
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.streaming import (
+        catalog_stream_writer,
+        committed_stream_batch_max,
+    )
+
+    catalog = SnapshotCatalog(str(tmp_path / "exp_cat"))
+    writer = catalog_stream_writer(catalog, "t")
+    df = spark.range(5).selectExpr("id")
+    writer(df, 0)
+    writer(df, 1)
+    catalog.write(df, "t", mode="overwrite")  # manual overwrite, no batch id
+    n = catalog.expire_snapshots("t")
+    assert n == 2
+    assert committed_stream_batch_max(catalog, "t") == 1
+    writer(df, 1)  # replay of the last streaming batch: must be skipped
+    assert catalog.read(spark, "t").count() == 5
+
 
 def test_streaming_frontier_flow_end_to_end(spark, tmp_path):
     """Composed streaming frontier (discovery → seen filter → token-bucket
@@ -476,7 +512,7 @@ def test_streaming_frontier_empty_source_is_clean(spark, tmp_path):
         SnapshotCatalog(str(tmp_path / "empty_cat")),
         str(tmp_path / "empty_ck"),
     )
-    assert counts == {"admitted": 0, "dequeued": 0}
+    assert counts == {"admitted": 0, "dequeued": 0, "overflow": 0}
 
 
 def test_streaming_seen_filter_rocksdb_state(spark, tmp_path):
@@ -680,3 +716,60 @@ def test_multi_stateful_dedup_then_windowed_agg_single_query(spark, tmp_path):
     # dedup upstream of the agg: 200 arrivals -> 50 distinct in 10:00
     assert got.get("10:00") == 50, got
     assert got.get("10:05") == 30, got
+
+
+def test_streaming_frontier_overflow_routed_to_own_table(spark, tmp_path):
+    """carry_over + a tiny pending cap: budget-evicted rows (rank 0) are
+    committed to the 'overflow' catalog table for re-discovery, NEVER to
+    'dequeued' — a consumer fetching from 'dequeued' must not crawl
+    evictions (ADVICE r4)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
+    from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
+
+    src = tmp_path / "ovf_disc"
+    src.mkdir()
+    catalog = SnapshotCatalog(str(tmp_path / "ovf_cat"))
+    rows = [
+        (f"https://hot.example/p/{i}", "2024-01-01 10:00", float(i), 1000)
+        for i in range(1, 11)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "event_ts": pa.array(
+                    pd.to_datetime([r[1] for r in rows]), type=pa.timestamp("us")
+                ),
+                "priority": pa.array([r[2] for r in rows]),
+                "crawl_delay_ms": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        ),
+        src / "d1.parquet",
+    )
+    counts = run_streaming_frontier(
+        spark,
+        str(src),
+        str(tmp_path / "ovf_work"),
+        catalog,
+        str(tmp_path / "ovf_ck"),
+        delay="1 hour",
+        window_ms=3000,  # delay 1000 -> budget 3
+        max_per_host=100,
+        carry_over=True,
+        max_pending_per_host=2,
+    )
+    # 10 urls, budget 3, cap 2 -> 3 dequeued, 2 pending, 5 overflow
+    assert counts["admitted"] == 10
+    assert counts["dequeued"] == 3
+    assert counts["overflow"] == 5
+    deq = catalog.read(spark, "dequeued").toPandas()
+    assert set(deq["rank_in_host"]) == {1, 2, 3}
+    assert sorted(deq["priority"], reverse=True) == [10.0, 9.0, 8.0]
+    ovf = catalog.read(spark, "overflow").toPandas()
+    assert set(ovf["rank_in_host"]) == {0}
+    # evictions are the LOWEST priorities (cap keeps the best pending)
+    assert sorted(ovf["priority"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
