@@ -145,13 +145,31 @@ def worker_serve(cpus: str) -> None:
     if ab:
         extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = ab
     spark = get_spark(app_name=f"ncds-bench-{cpus}", cpus=cpus, extra_conf=extra)
-    # FULL-SIZE warmup: codegen/JIT + python workers + input page cache
-    run_scaling_workload(spark, n_urls=n)
+    # FULL-SIZE warmup for the crawl workload: codegen/JIT + python
+    # workers + input page cache. The curation workload warms lazily on
+    # its first "curate" command (skipped entirely in crawl-only runs).
+    warmup = os.environ.get("SPARK_GRAFT_WORKER_WARMUP", "crawl")
+    if warmup == "crawl":
+        run_scaling_workload(spark, n_urls=n)
+    curate_warm = False
+    n_docs = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "1000000"))
     print(json.dumps({"ready": True}), flush=True)
     for line in sys.stdin:
         cmd = line.strip()
         if cmd == "run":
             print(json.dumps(run_scaling_workload(spark, n_urls=n)), flush=True)
+        elif cmd == "curate":
+            from nightcrawler_ds_pipeline_spark.operators.curation_scaling import (
+                run_curation_scaling_workload,
+            )
+
+            if not curate_warm:  # full-size warmup, same contract as crawl
+                run_curation_scaling_workload(spark, n_docs=n_docs)
+                curate_warm = True
+            print(
+                json.dumps(run_curation_scaling_workload(spark, n_docs=n_docs)),
+                flush=True,
+            )
         elif cmd == "probe":
             # colocated capacity probe: plain-multiprocessing fetch+decode
             # kernel at this level, measured inside this leg's window
@@ -173,7 +191,7 @@ def worker_serve(cpus: str) -> None:
 class _ScalingWorker:
     """Coordinator-side handle on one persistent --worker-serve subprocess."""
 
-    def __init__(self, cpus: str):
+    def __init__(self, cpus: str, extra_env: dict | None = None):
         self.cpus = cpus
         self.errlog = tempfile.NamedTemporaryFile(
             mode="w+", prefix=f"ncds_scaling_err_{cpus}_", suffix=".log", delete=False
@@ -184,6 +202,7 @@ class _ScalingWorker:
             stdout=subprocess.PIPE,
             stderr=self.errlog,
             text=True,
+            env={**os.environ, **(extra_env or {})},
         )
         self.sel = selectors.DefaultSelector()
         self.sel.register(self.proc.stdout, selectors.EVENT_READ)
@@ -239,33 +258,45 @@ class _ScalingWorker:
             pass
 
 
-def scaling_runs() -> dict:
-    """Same job, same input, two parallelism levels → scaling efficiency.
-
-    Interleaved pairs: (probe8, run8, probe32, run32) × REPS against warm
-    persistent workers, so both legs of each pair sample the same
-    host-contention window. The gate fields are medians of the PER-PAIR
-    ratios (each pair's drift cancels within the pair); per-leg medians are
-    reported too for continuity with earlier rounds."""
+def _paired_runs(
+    cmd: str,
+    tp_key: str,
+    extra_env: dict | None = None,
+    with_profile: bool = False,
+    run_timeout: float = 1800,
+) -> dict:
+    """Interleaved-pair scaling harness shared by the crawl ("run") and
+    curation ("curate") workloads: (probe8, cmd8, probe32, cmd32) × REPS
+    against warm persistent workers, so both legs of each pair sample the
+    same host-contention window. The gate fields are medians of the
+    PER-PAIR ratios (each pair's drift cancels within the pair); per-leg
+    medians are reported too for continuity with earlier rounds."""
     import statistics
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
-    # SEQUENTIAL startup: the 8-leg's warmup materializes the shared input
-    # dir (prepare_scaling_inputs); starting both at once races two
-    # generators on the same parquet paths and kills a worker mid-read.
-    w8 = _ScalingWorker("8")
+    # SEQUENTIAL startup: the 8-leg's first pass materializes the shared
+    # input dir; starting both at once races two generators on the same
+    # parquet paths and kills a worker mid-read.
+    w8 = _ScalingWorker("8", extra_env)
     pairs, detail = [], {"local[8]": {"runs": []}, "local[32]": {"runs": []}}
     w32 = None
     try:
         w8.read_json(timeout=1800)
-        w32 = _ScalingWorker("32")
+        # lazily-warmed workloads (curate) do their full-size warmup on the
+        # first command — issue it to the 8-leg BEFORE the 32-leg starts so
+        # input materialization is done and the pairs stay back-to-back
+        if cmd != "run":
+            w8.cmd(cmd, run_timeout * 2)
+        w32 = _ScalingWorker("32", extra_env)
         w32.read_json(timeout=1800)
+        if cmd != "run":
+            w32.cmd(cmd, run_timeout * 2)  # 32-leg lazy warmup
         for _ in range(reps):
             p8 = w8.cmd("probe", 600)["hw_units_per_sec"]
-            r8 = w8.cmd("run", 1800)
+            r8 = w8.cmd(cmd, run_timeout)
             p32 = w32.cmd("probe", 600)["hw_units_per_sec"]
-            r32 = w32.cmd("run", 1800)
-            t8, t32 = r8["urls_per_sec"], r32["urls_per_sec"]
+            r32 = w32.cmd(cmd, run_timeout)
+            t8, t32 = r8[tp_key], r32[tp_key]
             speedup = t32 / t8
             hw_speedup = p32 / p8
             pairs.append(
@@ -282,8 +313,9 @@ def scaling_runs() -> dict:
             )
             detail["local[8]"]["runs"].append(r8)
             detail["local[32]"]["runs"].append(r32)
-        detail["local[8]"]["stage_profile"] = w8.cmd("profile", 1800)
-        detail["local[32]"]["stage_profile"] = w32.cmd("profile", 1800)
+        if with_profile:
+            detail["local[8]"]["stage_profile"] = w8.cmd("profile", 1800)
+            detail["local[32]"]["stage_profile"] = w32.cmd("profile", 1800)
     finally:
         w8.quit()
         if w32 is not None:
@@ -303,6 +335,24 @@ def scaling_runs() -> dict:
         "pairs": pairs,
         "detail": detail,
     }
+
+
+def scaling_runs() -> dict:
+    """Crawl mega-batch at local[8] vs local[32] (the BASELINE.json gate)."""
+    return _paired_runs("run", "urls_per_sec", with_profile=True)
+
+
+def curation_scaling_runs() -> dict:
+    """The corpus-curation chain under the same harness (VERDICT r4 #5):
+    ~10^6 synthetic docs through lang→quality→Gopher→dedup→span-dup→LSH→CC
+    at both levels. Opt-in (SPARK_GRAFT_CURATION_SCALING=1) — it adds
+    ~20 min; numbers recorded in BASELINE.md."""
+    return _paired_runs(
+        "curate",
+        "docs_per_sec",
+        extra_env={"SPARK_GRAFT_WORKER_WARMUP": "none"},
+        run_timeout=2400,
+    )
 
 
 def main() -> None:
@@ -354,42 +404,57 @@ def main() -> None:
         except Exception as ex:  # never fail the bench line
             scaling = {"error": str(ex)[:400]}
 
+    curation_scaling = {}
+    if os.environ.get("SPARK_GRAFT_CURATION_SCALING", "0") == "1":
+        try:
+            curation_scaling = curation_scaling_runs()
+        except Exception as ex:
+            curation_scaling = {"error": str(ex)[:400]}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full per-rep detail → sidecar (the driver captures only the last
     # ~2000 chars of stdout; r4's all-in-one line overflowed it)
     crawl_compact = {k: v for k, v in crawl.items() if k != "all_urls_per_sec"}
-    scaling_compact = {
-        k: v for k, v in scaling.items() if k not in ("pairs", "detail")
+
+    def _compact(s: dict) -> dict:
+        return {k: v for k, v in s.items() if k not in ("pairs", "detail")}
+
+    detail_doc = {
+        "sf": sf_val,
+        "queries": timings,
+        "queries_all_runs": runs_detail,
+        "queries_reps": reps,
+        "crawl": crawl,
+        "scaling": scaling,
     }
+    line = {
+        "metric": "headline queries + crawl loop (URLs fetched+deduped/sec)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "queries_reps": reps,
+        "sf": sf_val,
+        "crawl": crawl_compact,
+        "scaling": _compact(scaling),
+        "detail_file": os.path.basename(DETAIL_FILE),
+    }
+    if curation_scaling:
+        detail_doc["curation_scaling"] = curation_scaling
+        line["curation_scaling"] = {
+            k: curation_scaling.get(k)
+            for k in (
+                "throughput_local8",
+                "throughput_local32",
+                "efficiency_vs_4x",
+                "spark_layer_efficiency",
+                "error",
+            )
+            if k in curation_scaling
+        }
     with open(DETAIL_FILE, "w") as f:
-        json.dump(
-            {
-                "sf": sf_val,
-                "queries": timings,
-                "queries_all_runs": runs_detail,
-                "queries_reps": reps,
-                "crawl": crawl,
-                "scaling": scaling,
-            },
-            f,
-            indent=1,
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "headline queries + crawl loop (URLs fetched+deduped/sec)",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": timings,
-                "queries_reps": reps,
-                "sf": sf_val,
-                "crawl": crawl_compact,
-                "scaling": scaling_compact,
-                "detail_file": os.path.basename(DETAIL_FILE),
-            }
-        )
-    )
+        json.dump(detail_doc, f, indent=1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -36,9 +36,10 @@ def main() -> None:
     )
     ap.add_argument("--source", required=True,
                     help="watched dir of discovery parquet files")
-    ap.add_argument("--work", required=True,
+    ap.add_argument("--work", default=None,
                     help="stage hand-off dir (admitted URLs, exactly-once "
-                         "parquet file sink)")
+                         "parquet file sink); required unless "
+                         "--single-query (which has no intermediate sink)")
     ap.add_argument("--sink", required=True,
                     help="SnapshotCatalog root; dequeued rows commit to "
                          "table 'dequeued'")
@@ -59,33 +60,58 @@ def main() -> None:
                     help="carry-over pending-queue cap per host; evictions "
                          "commit to the 'overflow' table (re-discovery), "
                          "never to 'dequeued'")
+    ap.add_argument("--single-query", action="store_true",
+                    help="run the one-query transformWithState chain "
+                         "(seen filter + politeness under ONE checkpoint, "
+                         "no --work hand-off; RocksDB state store; needs "
+                         "a worker-side protobuf — see compat.py); falls "
+                         "back loudly when the env cannot support it")
     ap.add_argument("--carry-over", action="store_true",
                     help="keep budget-clipped rows in per-host state so "
                          "they compete in later drains (batch-loop "
                          "rows-stay-in-frontier semantics)")
     args = ap.parse_args()
+    if not args.single_query and not args.work:
+        ap.error("--work is required unless --single-query")
 
     from nightcrawler_ds_pipeline_spark.crawl.tables import SnapshotCatalog
     from nightcrawler_ds_pipeline_spark.session import get_spark
-    from nightcrawler_ds_pipeline_spark.streaming import run_streaming_frontier
+    from nightcrawler_ds_pipeline_spark.streaming import (
+        run_streaming_frontier,
+        run_streaming_frontier_single,
+    )
 
     spark = get_spark(app_name="ncds-stream-frontier-job")
     delay_lookup = (
         spark.read.parquet(args.delay_lookup) if args.delay_lookup else None
     )
-    counts = run_streaming_frontier(
-        spark,
-        args.source,
-        args.work,
-        SnapshotCatalog(args.sink),
-        args.checkpoint,
-        delay=args.seen_horizon,
-        window_ms=args.window_ms,
-        max_per_host=args.max_per_host,
-        carry_over=args.carry_over,
-        max_pending_per_host=args.max_pending_per_host,
-        delay_lookup=delay_lookup,
-    )
+    if args.single_query:
+        counts = run_streaming_frontier_single(
+            spark,
+            args.source,
+            SnapshotCatalog(args.sink),
+            args.checkpoint,
+            delay=args.seen_horizon,
+            window_ms=args.window_ms,
+            max_per_host=args.max_per_host,
+            carry_over=args.carry_over,
+            max_pending_per_host=args.max_pending_per_host,
+            delay_lookup=delay_lookup,
+        )
+    else:
+        counts = run_streaming_frontier(
+            spark,
+            args.source,
+            args.work,
+            SnapshotCatalog(args.sink),
+            args.checkpoint,
+            delay=args.seen_horizon,
+            window_ms=args.window_ms,
+            max_per_host=args.max_per_host,
+            carry_over=args.carry_over,
+            max_pending_per_host=args.max_pending_per_host,
+            delay_lookup=delay_lookup,
+        )
     print(json.dumps({**counts, "sink": args.sink}))
 
 

@@ -27,6 +27,12 @@ def get_spark(
     ``cpus`` may be an int (→ ``local[N]``) or a full master string. Defaults
     to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
     """
+    # must happen before the JVM launches so streaming python runners
+    # (transformWithState) inherit a usable protobuf path — no-op when the
+    # env is already settled or a real protobuf is installed (compat.py)
+    from nightcrawler_ds_pipeline_spark.compat import ensure_tws_python_env
+
+    ensure_tws_python_env()
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = cpus if isinstance(cpus, str) and cpus.startswith(("local", "spark")) else f"local[{cpus}]"

@@ -41,6 +41,38 @@ OVERFLOW_RANK = 0  # rank_in_host sentinel: evicted from the pending cap,
 # NOT dequeued — route these back to discovery instead of fetching them
 
 
+# shared by this module's applyInPandasWithState operators AND the
+# transformWithState single-query flow (frontier_single.py) — one
+# definition so the two streaming politeness paths cannot drift from the
+# batch loop's arithmetic (pinned in tests/test_streaming_state.py)
+def compute_budget(
+    tokens: int, delay: int, window_ms: int, max_per_host: int
+) -> tuple[int, int]:
+    """(available, budget) under the batch loop's token-bucket arithmetic:
+    available = min(2*window, tokens + window); budget = floor(available /
+    delay) clamped to [0, max_per_host] (unlimited-rate hosts get the
+    hard cap)."""
+    available = min(2 * window_ms, tokens + window_ms)
+    if delay <= 0:
+        return available, max_per_host
+    return available, max(0, min(max_per_host, available // delay))
+
+
+def emit_ranked(host, ordered: pd.DataFrame, start_rank: int = 1) -> pd.DataFrame:
+    """Project dequeue output rows with per-host rank (OUT_SCHEMA order)."""
+    out = ordered[["iter", "url_hash", "priority"]].copy()
+    out.insert(1, "host", host)
+    out["rank_in_host"] = range(start_rank, start_rank + len(out))
+    return out[["iter", "host", "url_hash", "priority", "rank_in_host"]]
+
+
+def first_nonnull_delay(pdf: pd.DataFrame, fallback: int) -> int:
+    """First NON-NULL crawl_delay_ms in the batch (int(NaN) would raise
+    inside a stateful UDF and fail the whole micro-batch)."""
+    s = pdf["crawl_delay_ms"].dropna()
+    return int(s.iloc[0]) if len(s) else fallback
+
+
 def streaming_token_bucket_dequeue(
     frontier_stream: DataFrame,
     window_ms: int = DEFAULT_WINDOW_MS,
@@ -73,26 +105,12 @@ def streaming_token_bucket_dequeue(
     TTL: drive continuous queries with a periodic trigger and poll).
     """
 
-    def _emit(host, ordered: pd.DataFrame, start_rank: int = 1):
-        out = ordered[["iter", "url_hash", "priority"]].copy()
-        out.insert(1, "host", host)
-        out["rank_in_host"] = range(start_rank, start_rank + len(out))
-        return out[["iter", "host", "url_hash", "priority", "rank_in_host"]]
+    _emit = emit_ranked
 
     def _budget(tokens: int, delay: int) -> tuple[int, int]:
-        """(available, budget) under the batch loop's arithmetic."""
-        available = min(2 * window_ms, tokens + window_ms)
-        if delay <= 0:
-            return available, max_per_host
-        return available, max(0, min(max_per_host, available // delay))
+        return compute_budget(tokens, delay, window_ms, max_per_host)
 
-    def _first_delay(pdf: pd.DataFrame, fallback: int) -> int:
-        # first NON-NULL value: under frontier_flow's coalesce(lookup, feed)
-        # a host's micro-batch can open with a NULL crawl_delay_ms while a
-        # later row carries one — int(NaN) would raise inside the stateful
-        # UDF and fail the whole micro-batch
-        s = pdf["crawl_delay_ms"].dropna()
-        return int(s.iloc[0]) if len(s) else fallback
+    _first_delay = first_nonnull_delay
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

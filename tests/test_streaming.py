@@ -773,3 +773,107 @@ def test_streaming_frontier_overflow_routed_to_own_table(spark, tmp_path):
     assert set(ovf["rank_in_host"]) == {0}
     # evictions are the LOWEST priorities (cap keeps the best pending)
     assert sorted(ovf["priority"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_batch_ttl_matches_stream_watermark_horizon(spark, tmp_path):
+    """Batch↔stream TTL parity (VERDICT r4 #6): one workload replayed
+    through BOTH seen paths with matched horizons admits identical URL
+    sets per round.
+
+    Mapping: batch iteration ``it`` suppresses a key seen at iteration
+    ``s`` iff ``s > it - ttl_iters`` (loop.py:218). Streaming
+    ``dropDuplicatesWithinWatermark(delay)`` holds a key's state until the
+    watermark (prev batch max event time − delay) passes first_seen +
+    delay, so with one micro-batch per iteration and Δ between iteration
+    timestamps, suppression at batch ``b`` means ``(b−s−1)·Δ < 2·delay``
+    — identical to the batch rule iff ``2·delay/Δ = ttl_iters − 1``.
+    Here Δ = 10 min, ttl_iters = 2 → any 0 < delay ≤ Δ/2; delay = 4 min
+    stays clear of the eviction boundary."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F  # noqa: F811 (module alias)
+
+    from nightcrawler_ds_pipeline_spark.crawl.seen import filter_unseen
+    from nightcrawler_ds_pipeline_spark.functions.urls import with_canonical
+    from nightcrawler_ds_pipeline_spark.streaming import streaming_seen_filter
+
+    A, B, C = (
+        "https://a.example/p/1",
+        "https://b.example/p/2",
+        "https://c.example/p/3",
+    )
+    # (url, iteration): A,B at 0; A re-arrives at 1 (suppressed) with new
+    # C; everything re-arrives at 2 — A,B expired (seen at 0, ttl 2 ⇒
+    # re-admit at 0+2) but C (seen at 1) stays suppressed until round 3
+    rounds = [[A, B], [A, C], [A, B, C]]
+    ttl_iters = 2
+    ts_of = {0: "2024-01-01 10:00", 1: "2024-01-01 10:10", 2: "2024-01-01 10:20"}
+
+    # --- batch path: the loop's TTL rule over the REAL anti-join operator
+    seen_rows = []  # (url_hash, seen_iter)
+    batch_admitted = []
+    for it, urls in enumerate(rounds):
+        frontier = with_canonical(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        )
+        seen = (
+            spark.createDataFrame(seen_rows, "url_hash long, seen_iter int")
+            if seen_rows
+            else None
+        )
+        if seen is not None:
+            seen = seen.filter(F.col("seen_iter") > it - ttl_iters)
+        admitted = filter_unseen(spark, frontier, seen, None)
+        got = {r["url"] for r in admitted.select("url").collect()}
+        batch_admitted.append(got)
+        keyed = with_canonical(
+            spark.createDataFrame([(u,) for u in sorted(got)], "url string")
+        )
+        seen_rows += [
+            (r["url_hash"], it) for r in keyed.select("url_hash").collect()
+        ]
+
+    # --- stream path: one micro-batch per iteration, matched horizon
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("url string, event_ts timestamp_ntz")
+        .parquet(str(src))
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    )
+    out = streaming_seen_filter(stream, delay="4 minutes")
+    q = (
+        out.select("url", "event_ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_parity_out")
+        .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+        .start()
+    )
+    try:
+        for it, urls in enumerate(rounds):
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array(urls),
+                        "event_ts": pa.array(
+                            pd.to_datetime([ts_of[it]] * len(urls)),
+                            type=pa.timestamp("us"),
+                        ),
+                    }
+                ),
+                src / f"b{it}.parquet",
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = spark.sql("SELECT url, event_ts FROM ttl_parity_out").collect()
+    stream_admitted = [set() for _ in rounds]
+    rev_ts = {pd.Timestamp(v): k for k, v in ts_of.items()}
+    for r in stream_rows:
+        stream_admitted[rev_ts[pd.Timestamp(r["event_ts"])]].add(r["url"])
+
+    assert batch_admitted == [{A, B}, {C}, {A, B}]
+    assert stream_admitted == batch_admitted
