@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import selectors
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -157,7 +158,15 @@ def worker_serve(cpus: str) -> None:
     for line in sys.stdin:
         cmd = line.strip()
         if cmd == "run":
-            print(json.dumps(run_scaling_workload(spark, n_urls=n)), flush=True)
+            r = run_scaling_workload(spark, n_urls=n)
+            # release this run's shuffle files BEFORE handing the window
+            # to the other leg: spark.local.dir is tmpfs (RAM), and the
+            # ContextCleaner only drops shuffle blocks after a JVM GC —
+            # leftover blocks from the 8-run otherwise squeeze the page
+            # cache during the interleaved 32-run (untimed here; the
+            # coordinator is idle until this line prints)
+            spark.sparkContext._jvm.System.gc()
+            print(json.dumps(r), flush=True)
         elif cmd == "curate":
             from nightcrawler_ds_pipeline_spark.operators.curation_scaling import (
                 run_curation_scaling_workload,
@@ -189,15 +198,28 @@ def worker_serve(cpus: str) -> None:
 
 
 class _ScalingWorker:
-    """Coordinator-side handle on one persistent --worker-serve subprocess."""
+    """Coordinator-side handle on one persistent --worker-serve subprocess.
+
+    Each leg is CPU-PINNED to exactly its core count (taskset -c 0-(N-1),
+    inherited by the JVM, the python workers and the in-process hw probe).
+    Without pinning, local[8]'s 8 JVM task threads + 8 python workers
+    spread over ~16 of the box's 32 cores, flattering the 8-leg and
+    deflating the measured 8→32 speedup (r4/r5 windows: fetch_decode
+    scaled 2.3× while the unpinned probe scaled 3.9×). Pinning makes the
+    8-leg an honest 8-core measurement — the single-box analogue of an
+    N-node vs 4N-node cluster, where N nodes never borrow the other
+    3N nodes' cores."""
 
     def __init__(self, cpus: str, extra_env: dict | None = None):
         self.cpus = cpus
         self.errlog = tempfile.NamedTemporaryFile(
             mode="w+", prefix=f"ncds_scaling_err_{cpus}_", suffix=".log", delete=False
         )
+        pin = []
+        if shutil.which("taskset") and int(cpus) <= os.cpu_count():
+            pin = ["taskset", "-c", f"0-{int(cpus) - 1}"]
         self.proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker-serve", cpus],
+            pin + [sys.executable, os.path.abspath(__file__), "--worker-serve", cpus],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=self.errlog,
@@ -268,9 +290,14 @@ def _paired_runs(
     """Interleaved-pair scaling harness shared by the crawl ("run") and
     curation ("curate") workloads: (probe8, cmd8, probe32, cmd32) × REPS
     against warm persistent workers, so both legs of each pair sample the
-    same host-contention window. The gate fields are medians of the
-    PER-PAIR ratios (each pair's drift cancels within the pair); per-leg
-    medians are reported too for continuity with earlier rounds."""
+    same host-contention window. The gate fields are RATIOS OF PER-LEG
+    MEDIANS: pairing bounds slow drift (minutes-scale contention shifts),
+    but the residual error is per-CALL probe noise (a ~9 s probe can land
+    in a transient stall — r5 window: probe8 68.1 vs 87.1/88.8 siblings,
+    turning a 0.92 spark-layer into a per-pair 0.67), and a median of
+    per-pair ratios AMPLIFIES that, while medianing each quantity first
+    rejects the outlier. Per-pair ratios stay in the detail for drift
+    attribution."""
     import statistics
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
@@ -291,10 +318,42 @@ def _paired_runs(
         w32.read_json(timeout=1800)
         if cmd != "run":
             w32.cmd(cmd, run_timeout * 2)  # 32-leg lazy warmup
+        # One UNTIMED sacrificial pair in the same cadence as the timed
+        # ones: the startup warmups run minutes before the first timed
+        # 32-rep (idle JVM, page-cache churn from the interleaved 8-runs),
+        # and the first timed 32-run measured 2× slower than its warm
+        # reps in the r5 window that motivated this (BENCH_DETAIL pair 1:
+        # 124.3 s vs 60.5/52.6 s). The sacrifice re-establishes steady
+        # state under the exact probe/run rhythm the timed pairs use.
+        seen_probes: dict[str, list[float]] = {"8": [], "32": []}
+        probe_retries: list[dict] = []
+
+        def _probe(worker, leg: str) -> float:
+            """One probe reading with a single out-of-band retry: a ~9 s
+            probe can land in a transient host stall that the adjacent
+            200 s Spark run averages over; if the reading deviates >20%
+            from the median of this session's prior readings on the same
+            leg, re-probe once and keep the value closer to that median
+            (both are recorded)."""
+            v = worker.cmd("probe", 600)["hw_units_per_sec"]
+            prior = seen_probes[leg]
+            if prior:
+                m = statistics.median(prior)
+                if not (0.8 * m <= v <= 1.25 * m):
+                    v2 = worker.cmd("probe", 600)["hw_units_per_sec"]
+                    probe_retries.append({"leg": leg, "first": v, "retry": v2})
+                    v = min((v, v2), key=lambda x: abs(x - m))
+            seen_probes[leg].append(v)
+            return v
+
+        _probe(w8, "8")
+        w8.cmd(cmd, run_timeout)
+        _probe(w32, "32")
+        w32.cmd(cmd, run_timeout)
         for _ in range(reps):
-            p8 = w8.cmd("probe", 600)["hw_units_per_sec"]
+            p8 = _probe(w8, "8")
             r8 = w8.cmd(cmd, run_timeout)
-            p32 = w32.cmd("probe", 600)["hw_units_per_sec"]
+            p32 = _probe(w32, "32")
             r32 = w32.cmd(cmd, run_timeout)
             t8, t32 = r8[tp_key], r32[tp_key]
             speedup = t32 / t8
@@ -320,16 +379,20 @@ def _paired_runs(
         w8.quit()
         if w32 is not None:
             w32.quit()
-    med = lambda k: round(statistics.median(p[k] for p in pairs), 3)
+    med = lambda k: statistics.median(p[k] for p in pairs)
+    t8m, t32m = med("t8"), med("t32")
+    p8m, p32m = med("probe8"), med("probe32")
+    speedup, hw_speedup = t32m / t8m, p32m / p8m
+    detail["probe_retries"] = probe_retries
     return {
-        "throughput_local8": med("t8"),
-        "throughput_local32": med("t32"),
-        "speedup_8_to_32": med("speedup"),
-        "efficiency_vs_4x": med("efficiency_vs_4x"),
+        "throughput_local8": round(t8m, 3),
+        "throughput_local32": round(t32m, 3),
+        "speedup_8_to_32": round(speedup, 3),
+        "efficiency_vs_4x": round(speedup / 4.0, 3),
         "hw_probe_8": [p["probe8"] for p in pairs],
         "hw_probe_32": [p["probe32"] for p in pairs],
-        "hw_speedup_8_to_32": med("hw_speedup"),
-        "spark_layer_efficiency": med("spark_layer_efficiency"),
+        "hw_speedup_8_to_32": round(hw_speedup, 3),
+        "spark_layer_efficiency": round(speedup / hw_speedup, 3),
         "pair_efficiencies": [p["efficiency_vs_4x"] for p in pairs],
         "pair_spark_layer": [p["spark_layer_efficiency"] for p in pairs],
         "pairs": pairs,
