@@ -84,6 +84,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_rounds: int = 30,
     verify: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id of its component.
 
@@ -94,25 +95,62 @@ def connected_components(
     Returns (node, component), one row per node. Deterministic: the fixpoint
     of star rounds is unique (a star forest rooted at each component's
     minimum), independent of partitioning.
+
+    ``stats``, when given, receives {edges_sec, rounds, rounds_sec} — the
+    scaling bench's Amdahl attribution (the fixpoint's per-round latency is
+    level-independent at bench scale).
+
+    Partitioning inside the fixpoint: the eager rounds run with AQE's
+    ``coalescePartitions.parallelismFirst`` OFF (restored after). The star
+    edge sets shrink toward the forest within a couple of rounds; with the
+    parallelism-first default every tiny round still schedules
+    cores×stages near-empty tasks, and that scheduling floor — not data —
+    was 35 of the 96 s curation wall at local[32]/10^6 docs (r5 measured).
+    Bytes-first coalescing collapses each round to a handful of tasks;
+    at real scale, where round inputs are large, it sizes partitions by
+    bytes exactly as the default would.
     """
-    ecols = edges.columns
-    e = (
-        edges.select(F.col(ecols[0]).alias("u"), F.col(ecols[1]).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    e = e.localCheckpoint(eager=True)
-    n, h = _edge_fingerprint(e)
-    for _ in range(max_rounds):
-        if n == 0:
-            break
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        n2, h2 = _edge_fingerprint(e)
-        if (n2, h2) == (n, h):
-            break
-        n, h = n2, h2
-    else:  # pragma: no cover — star rounds converge in O(log n) ≪ 30
-        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    import time as _time
+
+    spark = edges.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    saved_pf = spark.conf.get(_PF, None)
+    spark.conf.set(_PF, "false")
+    _t0 = _time.time()
+    rounds = 0
+    try:
+        ecols = edges.columns
+        e = (
+            edges.select(F.col(ecols[0]).alias("u"), F.col(ecols[1]).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = e.localCheckpoint(eager=True)
+        n, h = _edge_fingerprint(e)
+        if stats is not None:
+            stats["edges_sec"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
+        for _ in range(max_rounds):
+            if n == 0:
+                break
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            rounds += 1
+            n2, h2 = _edge_fingerprint(e)
+            if (n2, h2) == (n, h):
+                break
+            n, h = n2, h2
+        else:  # pragma: no cover — star rounds converge in O(log n) ≪ 30
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_rounds} rounds"
+            )
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["rounds_sec"] = round(_time.time() - _t0, 2)
+    finally:
+        if saved_pf is None:
+            spark.conf.unset(_PF)
+        else:
+            spark.conf.set(_PF, saved_pf)
     # fixpoint edge set is a star forest: u → component root (= min id)
     labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("node"), "component"

@@ -120,6 +120,7 @@ def curate(
     docs: DataFrame,
     cfg: CurationConfig = DEFAULT_CURATION,
     bench_docs: DataFrame | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, quality, dup_fraction, group_id,
     is_canonical), one row per kept document.
@@ -130,7 +131,22 @@ def curate(
     (dedup.decontaminate_df — broadcast-sized flagging join). Like the
     real-model switches this has no SQL twin in the registered oracle
     (the driver corpus has no external eval set); the gate is pinned
-    end-to-end in tests/test_decontam.py."""
+    end-to-end in tests/test_decontam.py.
+
+    ``timings``, when given, receives wall-clock seconds for the chain's
+    synchronous segments (the eager checkpoints + the CC fixpoint), keyed
+    gates_exact_dedup / span_dup_gate / minhash_cc — the scaling bench
+    uses it for 8→32 per-stage attribution."""
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(key):
+        nonlocal _t0
+        if timings is not None:
+            timings[key] = round(_time.time() - _t0, 2)
+            _t0 = _time.time()
+
     docs = docs.filter(F.trim(F.coalesce("text", F.lit(""))) != "")
     if cfg.remove_boilerplate:
         from nightcrawler_ds_pipeline_spark.operators.dedup import (
@@ -217,6 +233,7 @@ def curate(
     # kept1 feeds the shingle stats AND the gate below — materialize once
     # so the gate+exact-dedup lineage doesn't re-execute per consumer
     kept1 = kept1.localCheckpoint(eager=True)
+    _mark("gates_exact_dedup")
     # span-dup gate: duplicated-shingle fraction computed over the exact-
     # deduped survivors (exact copies would otherwise mark every shingle
     # shared); docs with < N words carry no shingles → fraction 0 → kept
@@ -243,6 +260,7 @@ def curate(
     # kept feeds three consumers (signature chain, CC node set, final
     # join) — same materialize-once pattern
     kept = kept.localCheckpoint(eager=True)
+    _mark("span_dup_gate")
     # MinHash-LSH edges over the kept docs — banding/salt shared with the
     # oracle via dedup.py's single definition. The chain needs GROUPS, not
     # pairs, so it uses the star-edge formulation: k-1 edges per bucket
@@ -256,7 +274,13 @@ def curate(
     # collision risk is accepted on this hot path (the guard stays on by
     # default everywhere else, incl. the standalone CC query)
     edges = minhash_band_star_edges_df(kept.select("doc_id", "text"))
-    cc = connected_components(edges, nodes=kept.select("doc_id"), verify=False)
+    cc_stats: dict = {}
+    cc = connected_components(
+        edges, nodes=kept.select("doc_id"), verify=False, stats=cc_stats
+    )
+    _mark("minhash_cc")
+    if timings is not None:
+        timings["cc_detail"] = cc_stats
     return (
         kept.join(
             cc.select(F.col("node").alias("doc_id"), F.col("component")),

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 VOCAB_SIZE = 50_000
+INPUT_FILES = 128  # materialized corpus files (see prepare_curation_inputs)
 GROUP = 50  # docs per planted-duplicate group
 _EXACT_SLOTS = (45, 46)  # exact copies of slot 0
 _NEAR_SLOTS = (47, 48, 49)  # slot-0 draws, every 9th word re-drawn per doc
@@ -87,7 +88,8 @@ def prepare_curation_inputs(
     import os
 
     fingerprint = (
-        f"v2 n={n_docs} group={GROUP} vocab={VOCAB_SIZE} chg={_CHANGE_EVERY}\n"
+        f"v3 files={INPUT_FILES} n={n_docs} group={GROUP} "
+        f"vocab={VOCAB_SIZE} chg={_CHANGE_EVERY}\n"
     )
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
@@ -98,9 +100,18 @@ def prepare_curation_inputs(
 
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
-    synth_documents(spark, n_docs).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
+    # INPUT_FILES files (not the generating session's core count): the
+    # first 1M-doc measurement wrote 32×17 MB files, and Spark's split
+    # packing (128 MB maxPartitionBytes + 4 MB openCostInBytes) binned
+    # them into ~6 scan splits — the ENTIRE per-doc map side (metric
+    # columns, shingle explode, MinHash partial aggs) ran 6-wide at both
+    # parallelism levels, capping the 8→32 speedup at 1.35× (spark-layer
+    # 0.39). At 100 TB a scan has thousands of ≥128 MB splits per node
+    # and this never happens; many small files + the split sizing below
+    # recreate that splits ≫ cores regime at bench scale.
+    synth_documents(spark, n_docs).repartition(INPUT_FILES).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
     with open(marker, "w") as f:
         f.write(fingerprint)
     return out_dir
@@ -127,15 +138,45 @@ def run_curation_scaling_workload(
     os.makedirs(input_dir, exist_ok=True)
     prepare_curation_inputs(spark, n_docs, input_dir)
 
-    docs = spark.read.parquet(f"{input_dir}/documents.parquet")
-    t0 = time.time()
-    out = curate(docs, DEFAULT_CURATION)
-    agg = out.agg(
-        F.count("*").alias("kept"),
-        F.count_distinct("group_id").alias("groups"),
-        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("canonical"),
-    ).collect()[0]
-    wall = time.time() - t0
+    # Split sizing: the timed chain's per-doc cost is front-loaded in the
+    # scan stage (metric columns, shingle explode, MinHash partial aggs
+    # all pipeline into it), so scan splits must outnumber cores at BOTH
+    # levels or the map side is the Amdahl term (measured: 6 splits ⇒
+    # 8→32 speedup 1.35×). ~4 MB target splits turn the 128 × ~4 MB
+    # input files into one split each — splits ≫ cores, the regime a
+    # real ≥128 MB-split-per-task 100 TB scan is always in. Runtime SQL
+    # confs, scoped to this workload and restored after.
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+    try:
+        docs = spark.read.parquet(f"{input_dir}/documents.parquet")
+        segs: dict = {}
+        t0 = time.time()
+        out = curate(docs, DEFAULT_CURATION, timings=segs)
+        agg = out.agg(
+            F.count("*").alias("kept"),
+            F.count_distinct("group_id").alias("groups"),
+            F.sum(
+                F.when(F.col("is_canonical"), 1).otherwise(0)
+            ).alias("canonical"),
+        ).collect()[0]
+        wall = time.time() - t0
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    segs["final_join_agg"] = round(
+        wall
+        - sum(v for v in segs.values() if isinstance(v, (int, float))),
+        2,
+    )
     return {
         "n_docs": n_docs,
         "kept": int(agg["kept"]),
@@ -143,4 +184,5 @@ def run_curation_scaling_workload(
         "canonical": int(agg["canonical"]),
         "sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
+        "segments": segs,
     }
