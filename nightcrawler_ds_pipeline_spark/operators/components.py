@@ -125,7 +125,12 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = e.localCheckpoint(eager=True)
+        # lazy localCheckpoint + fingerprint-as-materializer: the
+        # fingerprint aggregate is the action that materializes each
+        # round's checkpoint, so a round costs ONE job instead of an
+        # eager-checkpoint job followed by a fingerprint job — at toy
+        # edge counts the fixpoint is pure job latency and this halves it
+        e = e.localCheckpoint(eager=False)
         n, h = _edge_fingerprint(e)
         if stats is not None:
             stats["edges_sec"] = round(_time.time() - _t0, 2)
@@ -133,7 +138,7 @@ def connected_components(
         for _ in range(max_rounds):
             if n == 0:
                 break
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             rounds += 1
             n2, h2 = _edge_fingerprint(e)
             if (n2, h2) == (n, h):

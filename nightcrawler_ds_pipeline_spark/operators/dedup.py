@@ -100,8 +100,16 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     O(total-tokens)-row shuffle in favor of the groupBy's map-side partial
     agg, whose shuffle carries ~1 row x 8 hex mins per doc per partition
     (plan pinned single-Exchange in tests/test_plans_curation.py)."""
+    # array_distinct is the same set-vs-multiset algebra applied per ROW:
+    # repeated words inside one doc can't change any min, and dropping
+    # them before the explode skips their 8 md5s per repeat (real-corpus
+    # repeat fraction ~40%; no new exchange — the single-Exchange plan
+    # tripwire still holds)
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("w"),
     )
     aggs = [
         F.min(
@@ -503,26 +511,35 @@ def hashed_shingles_df(docs: DataFrame, n: int = _NGRAM_N) -> DataFrame:
     speedup 1.35× before, measured r5; the long-arithmetic form keeps
     the lambda allocation-free). Hash VALUES are not a contract — every
     consumer (span-dup stats, curation gate, decontamination) derives
-    both sides from this one builder and compares only counts/joins."""
+    both sides from this one builder and compares only counts/joins.
+
+    "Distinct per doc" is per-ROW algebra, not a shuffle: a (doc_id, s)
+    distinct only ever removes repeats of a shingle INSIDE one document
+    (doc_id is part of the key), so ``array_distinct`` on the in-row
+    shingle array before the explode is exactly equivalent — and deletes
+    what was the chain's largest exchange (the full exploded shingle set,
+    ~8× corpus rows). It also leaves the output partitioned by input
+    file with each doc's shingles contiguous, so a downstream
+    groupBy(doc_id) partial-agg compresses to ONE row per doc before its
+    shuffle instead of one per (doc, partition)."""
     words = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
     ).filter(F.size("w") >= n)
     wh = words.select(
         "doc_id", F.transform("w", lambda x: F.xxhash64(x)).alias("wh")
     )
-    return (
-        wh.select(
-            "doc_id",
-            F.explode(
+    return wh.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), F.size("wh") - n),
                     lambda i: F.xxhash64(
                         *[F.element_at(F.col("wh"), i + j) for j in range(1, n + 1)]
                     ),
                 )
-            ).alias("s"),
-        )
-        .distinct()
+            )
+        ).alias("s"),
     )
 
 
