@@ -560,7 +560,16 @@ def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("s")
     )
-    flagged = sh.join(shared.withColumn("__dup", F.lit(1)), "s", "left")
+    # shuffle_hash, not the SMJ default: the probe side is the full
+    # shingle stream (~8× corpus rows) and sort-merge would SORT it;
+    # hashing builds only on the shared-key side (≥2-doc shingles, the
+    # small side by construction), per partition, AQE-skewable — and
+    # unlike a broadcast it stays safe when the shared set is 10^9
+    # boilerplate keys at the 10^10-doc point. When the shared side is
+    # runtime-tiny AQE still upgrades this to a broadcast join.
+    flagged = sh.join(
+        shared.withColumn("__dup", F.lit(1)).hint("shuffle_hash"), "s", "left"
+    )
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup"),
