@@ -175,10 +175,20 @@ def worker_serve(cpus: str) -> None:
             if not curate_warm:  # full-size warmup, same contract as crawl
                 run_curation_scaling_workload(spark, n_docs=n_docs)
                 curate_warm = True
-            print(
-                json.dumps(run_curation_scaling_workload(spark, n_docs=n_docs)),
-                flush=True,
-            )
+            r = run_curation_scaling_workload(spark, n_docs=n_docs)
+            # same post-run hygiene as the crawl branch, and MORE load-
+            # bearing here: each curate run leaves ~5 GB of shuffle files
+            # in tmpfs AND the chain's localCheckpoint blocks (1M-doc
+            # text columns, MEMORY_AND_DISK) pinned until ContextCleaner
+            # runs after a JVM GC; without the explicit collect+gc the
+            # worker's later reps run inside a heap/tmpfs squeeze that a
+            # fresh-JVM run never sees (r5: 32-leg rep segments swung
+            # 26-120 s on an idle box until this was added)
+            import gc as _pygc
+
+            _pygc.collect()
+            spark.sparkContext._jvm.System.gc()
+            print(json.dumps(r), flush=True)
         elif cmd == "probe":
             # colocated capacity probe: plain-multiprocessing fetch+decode
             # kernel at this level, measured inside this leg's window

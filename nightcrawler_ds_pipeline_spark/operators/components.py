@@ -27,7 +27,7 @@ scale needs exactly this operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nightcrawler_ds_pipeline_spark.registry import register
@@ -50,14 +50,24 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+# Both star steps compute "per node u, the minimum over its incident
+# rows" and then emit per-ROW edges to that minimum. A groupBy(u) +
+# join-back references the incident-edge frame in two different subplans
+# (one under a partial agg), which defeats exchange reuse — the frame is
+# exchanged (and its lineage re-executed) twice per star. A window min
+# over partitionBy(u) is the same algebra in ONE exchange with no join;
+# the per-node sort it adds is on the same key the groupBy would have
+# shuffled on. (Same fix as dedup.minhash_band_star_edges_df — measured
+# there at 2× the map-side cost.)
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = both.groupBy("u").agg(F.min("v").alias("mn")).select(
-        "u", F.least("mn", "u").alias("m")
+    with_min = both.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     )
     return (
-        both.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
+        with_min.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -68,8 +78,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-    with_min = directed.join(mins, "u")
+    with_min = directed.withColumn("m", F.min("v").over(Window.partitionBy("u")))
     nbr_edges = with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
     self_edges = with_min.select("u", F.col("m").alias("v"))
     return (

@@ -173,14 +173,24 @@ def minhash_band_star_edges_df(docs: DataFrame) -> DataFrame:
     edges instead of k·(k-1)/2 pairs. At 10^10 docs a boilerplate cluster
     landing 10^6 docs in one band bucket means 10^6 star edges vs 5·10^11
     clique pairs — the difference between a shuffle AQE can size and a job
-    that never finishes. One groupBy(band) with a map-side-combinable MIN
-    plus one equi-join back on the band key; no self-join."""
+    that never finishes.
+
+    Bucket mins come from a WINDOW over the band key, not groupBy + join
+    back: the join formulation references ``bands`` in two different
+    subplans (one under a partial agg), which defeats exchange reuse and
+    re-executes the ENTIRE md5 signature chain twice (measured r5: the
+    two duplicate map stages were ~800 core-s each at 10^6 docs — half
+    the edge segment's cost). The window is one exchange of the band
+    rows, one sort, zero joins, and the signature chain runs once. The
+    window is per-bucket (partition spec present — the global-window
+    tripwire in test_global_seq does not fire) and a 10^6-doc hot bucket
+    is a 10^6-row partition sort, same order as the groupBy's shuffle."""
+    from pyspark.sql import Window
+
     bands = _band_rows_df(docs)
-    roots = bands.groupBy("band_id", "band_key").agg(
-        F.min("doc_id").alias("id_a")
-    )
+    w = Window.partitionBy("band_id", "band_key")
     return (
-        bands.join(roots, ["band_id", "band_key"])
+        bands.withColumn("id_a", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("id_a"))
         .select("id_a", F.col("doc_id").alias("id_b"))
         .distinct()

@@ -28,8 +28,12 @@ def test_curation_plan_is_jvm_only_no_cartesian(spark):
 
 
 def test_cc_round_plan_shape(spark):
-    """One star round = shuffles keyed on the node id — no cartesian, no
-    Python, no window; the join is an equi-join (hash or sort-merge)."""
+    """One star round = ONE exchange keyed on the node id feeding a
+    per-node window min — no cartesian, no Python, and crucially NO JOIN:
+    the r5 groupBy+join-back formulation referenced the incident-edge
+    frame in two subplans and re-executed its lineage twice (exchange
+    reuse does not fire across a partial agg). The window must carry a
+    partition spec (u) — never a global window."""
     from nightcrawler_ds_pipeline_spark.operators.components import (
         _large_star,
         _small_star,
@@ -42,10 +46,10 @@ def test_cc_round_plan_shape(spark):
         plan = _plan(step(edges))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-        assert "Window" not in plan
-        assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
-            "ShuffledHashJoin" in plan
-        )
+        assert "Join" not in plan  # no join-back: single-exchange star
+        # windowed min, partitioned on the node id (never a global window)
+        assert "Window" in plan
+        assert "windowspecdefinition(u#" in plan
 
 
 def test_cc_driver_sees_only_scalars(spark):
