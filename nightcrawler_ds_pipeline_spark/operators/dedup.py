@@ -559,8 +559,9 @@ def ngram_dup_stats_df(docs: DataFrame) -> DataFrame:
     one broadcast-able shared-shingle join — no all-pairs anywhere.
     Shingle definition: ``hashed_shingles_df`` (shared builder)."""
     sh = hashed_shingles_df(docs)
-    # (doc_id, s) is distinct by construction (the builder ends in
-    # .distinct()), so COUNT(*) per shingle IS the distinct-doc count —
+    # (doc_id, s) is distinct by construction (the builder dedupes each
+    # row's shingles via array_distinct before the explode), so COUNT(*)
+    # per shingle IS the distinct-doc count —
     # count_distinct here would plan a second expand+aggregate pass over
     # the full shingle set for nothing (same algebra as the r4
     # minhash-distinct removal; the oracle keeps COUNT(DISTINCT doc_id))
