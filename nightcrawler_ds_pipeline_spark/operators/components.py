@@ -66,11 +66,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     with_min = both.withColumn(
         "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     )
+    # NO distinct here: the output is ≤|E| rows with or without it (each
+    # input row emits at most one (v, m) edge), small-star's window min is
+    # multiset-insensitive, and small-star's own trailing distinct
+    # canonicalizes the round — so a distinct here is a pure extra shuffle
+    # barrier per round, at toy scale AND at 10^10 edges (r5: one of the
+    # four sequential exchanges in every fixpoint round, deleted).
     return (
         with_min.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
