@@ -17,10 +17,13 @@ profiles) goes to the BENCH_DETAIL.json sidecar next to this file.
 - scaling: the same crawl mega-batch at local[8] and local[32] (sandbox
   stand-in for N vs 4N executors; BASELINE.json requires efficiency ≥ 0.8).
   Both levels run as PERSISTENT warm-JVM subprocesses and the reps
-  INTERLEAVE (probe8,run8,probe32,run32)×REPS so each pair samples the same
-  host-contention window — r4's gate miss traced to the two legs running
-  minutes apart under drifting contention. The gate number is the median of
-  the per-pair efficiencies. Skipped when SPARK_GRAFT_BENCH_FAST=1.
+  INTERLEAVE (probe8,run8,probe8',probe32,run32,probe32')×REPS so each pair
+  samples the same host-contention window — r4's gate miss traced to the two
+  legs running minutes apart under drifting contention, and r5 window 21 to
+  a single pre-probe sampling a different window than its own 170 s run
+  (probes now BRACKET each run; the pair value is the pre/post mean). The
+  gate numbers are ratios of per-leg medians. Skipped when
+  SPARK_GRAFT_BENCH_FAST=1.
 """
 
 from __future__ import annotations
@@ -298,9 +301,11 @@ def _paired_runs(
     run_timeout: float = 1800,
 ) -> dict:
     """Interleaved-pair scaling harness shared by the crawl ("run") and
-    curation ("curate") workloads: (probe8, cmd8, probe32, cmd32) × REPS
-    against warm persistent workers, so both legs of each pair sample the
-    same host-contention window. The gate fields are RATIOS OF PER-LEG
+    curation ("curate") workloads: (probe8, cmd8, probe8', probe32, cmd32,
+    probe32') × REPS against warm persistent workers, so both legs of each
+    pair sample the same host-contention window and each run's probe value
+    is the mean of a pre/post bracket (a run is 15-20× longer than a probe;
+    a single-sided probe measurably samples a different window — r5 w21). The gate fields are RATIOS OF PER-LEG
     MEDIANS: pairing bounds slow drift (minutes-scale contention shifts),
     but the residual error is per-CALL probe noise (a ~9 s probe can land
     in a transient stall — r5 window: probe8 68.1 vs 87.1/88.8 siblings,
@@ -360,11 +365,22 @@ def _paired_runs(
         w8.cmd(cmd, run_timeout)
         _probe(w32, "32")
         w32.cmd(cmd, run_timeout)
+        # BRACKETED probes (r5 window 21): a ~9 s probe before a 140-170 s
+        # run samples a different contention window than the run itself —
+        # window 21 pair 2 probed its 8-leg at the session HIGH while the
+        # adjacent 8-run landed at the session LOW, reading spark-layer
+        # 1.27 against siblings at 0.74-0.76. Probe each timed run on BOTH
+        # sides and use the mean (a trapezoid estimate of the contention
+        # the run actually saw); both raw readings stay in the pair record.
         for _ in range(reps):
-            p8 = _probe(w8, "8")
+            p8a = _probe(w8, "8")
             r8 = w8.cmd(cmd, run_timeout)
-            p32 = _probe(w32, "32")
+            p8b = _probe(w8, "8")
+            p32a = _probe(w32, "32")
             r32 = w32.cmd(cmd, run_timeout)
+            p32b = _probe(w32, "32")
+            p8 = round((p8a + p8b) / 2, 2)
+            p32 = round((p32a + p32b) / 2, 2)
             t8, t32 = r8[tp_key], r32[tp_key]
             speedup = t32 / t8
             hw_speedup = p32 / p8
@@ -374,6 +390,8 @@ def _paired_runs(
                     "t32": t32,
                     "probe8": p8,
                     "probe32": p32,
+                    "probe8_pre_post": [p8a, p8b],
+                    "probe32_pre_post": [p32a, p32b],
                     "speedup": round(speedup, 3),
                     "efficiency_vs_4x": round(speedup / 4.0, 3),
                     "hw_speedup": round(hw_speedup, 3),
