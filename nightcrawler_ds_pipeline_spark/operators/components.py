@@ -20,6 +20,21 @@ the round count. The only driver-side data is a (count, checksum) pair
 per round for the convergence test — never the edge set itself, so the
 same loop runs unchanged on a 10^10-edge frontier.
 
+Small-graph fast path: when the deduped edge set is at most
+``local_edges_max`` rows (exact count — the same scalar the fingerprint
+already computes), the edges are collected and labeled with a driver-side
+union-find instead of running the distributed fixpoint. This is the
+standard broadcast-threshold pattern (GraphFrames' connectedComponents
+does the same): after heavy upstream pruning (LSH banding emits ~10^4
+edges from 10^6 docs) the star rounds are pure job-scheduling latency —
+measured at a LEVEL-INDEPENDENT ~27 s for 5 rounds at local[8] AND
+local[32] on a 1M-doc corpus, an Amdahl floor that was 22% of the clean
+32-core curation wall. The local path labels the same graph in
+milliseconds, produces the identical min-id fixpoint, and the collected
+set is bounded by an exact pre-counted threshold (default 200k edges ≈
+tens of MB of driver memory) — at 10^10-doc scale the edge set exceeds
+the threshold and the distributed fixpoint runs unchanged.
+
 Reference tie-in: the reference dedups row-at-a-time inside one process
 (s05_dataprocessor.py drop_duplicates); transitive grouping at cluster
 scale needs exactly this operator.
@@ -36,6 +51,40 @@ from nightcrawler_ds_pipeline_spark.operators.dedup import (
     dedup_minhash_lsh_pairs,
     minhash_pairs_sql,
 )
+
+
+# Collect-and-label threshold for the small-graph fast path. 2×10^5 edges
+# of (id, id) Rows is tens of MB on the driver — safe at any realistic
+# driver heap — while covering every post-LSH edge set this engine has
+# measured (1M-doc corpus ⇒ ~10^4 star edges). Above it the distributed
+# star fixpoint runs, as it must at 10^8+ edges.
+LOCAL_EDGES_MAX = 200_000
+
+
+def _local_union_find(rows) -> dict:
+    """Min-root union-find over collected (u, v) rows — the driver-side
+    twin of the star fixpoint (each merge roots the larger label under the
+    smaller, so every tree's root is its component's minimum id)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:  # path compression
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    for row in rows:
+        u, v = row[0], row[1]
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+        parent.setdefault(ru, ru)
+    return {x: find(x) for x in parent}
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -99,6 +148,7 @@ def connected_components(
     max_rounds: int = 30,
     verify: bool = True,
     stats: dict | None = None,
+    local_edges_max: int | None = LOCAL_EDGES_MAX,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id of its component.
 
@@ -113,6 +163,13 @@ def connected_components(
     ``stats``, when given, receives {edges_sec, rounds, rounds_sec} — the
     scaling bench's Amdahl attribution (the fixpoint's per-round latency is
     level-independent at bench scale).
+
+    ``local_edges_max``: small-graph threshold (module docstring). The
+    deduped edge count is measured EXACTLY (the fingerprint scalar) before
+    any collect; at or below the threshold a driver-side union-find labels
+    the graph (identical min-id fixpoint, `stats["local_edges"]` set,
+    rounds = 0), above it the distributed star rounds run. Pass ``None``
+    or ``0`` to force the distributed path (tests exercise both).
 
     Partitioning inside the fixpoint: the eager rounds run with AQE's
     ``coalescePartitions.parallelismFirst`` OFF (restored after). The star
@@ -149,62 +206,91 @@ def connected_components(
         if stats is not None:
             stats["edges_sec"] = round(_time.time() - _t0, 2)
         _t0 = _time.time()
-        # one star round per job (a two-rounds-per-job variant was tried
-        # and measured WORSE: the fused job serializes twice the stages
-        # under AQE and pays a full wasted identity double-round at the
-        # fixpoint — r5, 1M-doc corpus: rounds_sec 37 s → 72 s)
-        for _ in range(max_rounds):
-            if n == 0:
-                break
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            rounds += 1
-            n2, h2 = _edge_fingerprint(e)
-            if (n2, h2) == (n, h):
-                break
-            n, h = n2, h2
-        else:  # pragma: no cover — star rounds converge in O(log n) ≪ 30
-            raise RuntimeError(
-                f"connected_components: no fixpoint in {max_rounds} rounds"
-            )
-        if stats is not None:
-            stats["rounds"] = rounds
-            stats["rounds_sec"] = round(_time.time() - _t0, 2)
+        local = bool(local_edges_max) and 0 < n <= local_edges_max
+        mapping = None
+        if local:
+            # bounded by the exact count above; the checkpoint the
+            # fingerprint just materialized makes this collect one cheap
+            # read, not a lineage re-execution
+            mapping = _local_union_find(e.collect())
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["local_edges"] = n
+                stats["rounds_sec"] = round(_time.time() - _t0, 2)
+        else:
+            # one star round per job (a two-rounds-per-job variant was
+            # tried and measured WORSE: the fused job serializes twice the
+            # stages under AQE and pays a full wasted identity double-round
+            # at the fixpoint — r5, 1M-doc corpus: rounds_sec 37 s → 72 s)
+            for _ in range(max_rounds):
+                if n == 0:
+                    break
+                e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+                rounds += 1
+                n2, h2 = _edge_fingerprint(e)
+                if (n2, h2) == (n, h):
+                    break
+                n, h = n2, h2
+            else:  # pragma: no cover — star rounds converge in O(log n) ≪ 30
+                raise RuntimeError(
+                    f"connected_components: no fixpoint in {max_rounds} rounds"
+                )
+            if stats is not None:
+                stats["rounds"] = rounds
+                stats["rounds_sec"] = round(_time.time() - _t0, 2)
     finally:
         if saved_pf is None:
             spark.conf.unset(_PF)
         else:
             spark.conf.set(_PF, saved_pf)
-    # fixpoint edge set is a star forest: u → component root (= min id)
-    labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
-        F.col("u").alias("node"), "component"
-    )
-    # collision guard (verify=True): convergence is detected by a 64-bit
-    # fingerprint, so a per-round ~2^-64 checksum collision could stop the
-    # loop on a non-star edge set and silently mislabel. In a true star
-    # forest no edge target is itself re-attached elsewhere — any v that
-    # also appears as a source u with component != itself fails loudly (one
-    # scalar count per call). Callers that accept the 2^-64 risk on the hot
-    # path pass verify=False to skip the extra Spark action.
-    if verify:
-        bad = (
-            e.select(F.col("v").alias("node"))
-            .distinct()
-            .join(
-                labels.filter(F.col("component") != F.col("node")),
-                "node",
-                "left_semi",
-            )
-            .count()
+    if mapping is not None:
+        # union-find is exact — no collision guard needed (verify= is a
+        # fingerprint-convergence safeguard, and the local path doesn't
+        # converge by fingerprint)
+        from pyspark.sql import types as T
+
+        utype = e.schema["u"].dataType
+        out = spark.createDataFrame(
+            sorted(mapping.items()),
+            T.StructType(
+                [
+                    T.StructField("node", utype, False),
+                    T.StructField("component", utype, False),
+                ]
+            ),
         )
-        if bad:
-            raise RuntimeError(
-                "connected_components: fixpoint is not a star forest "
-                f"({bad} non-root edge targets) — fingerprint collision?"
+    else:
+        # fixpoint edge set is a star forest: u → component root (= min id)
+        labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+            F.col("u").alias("node"), "component"
+        )
+        # collision guard (verify=True): convergence is detected by a 64-bit
+        # fingerprint, so a per-round ~2^-64 checksum collision could stop
+        # the loop on a non-star edge set and silently mislabel. In a true
+        # star forest no edge target is itself re-attached elsewhere — any v
+        # that also appears as a source u with component != itself fails
+        # loudly (one scalar count per call). Callers that accept the 2^-64
+        # risk on the hot path pass verify=False to skip the extra action.
+        if verify:
+            bad = (
+                e.select(F.col("v").alias("node"))
+                .distinct()
+                .join(
+                    labels.filter(F.col("component") != F.col("node")),
+                    "node",
+                    "left_semi",
+                )
+                .count()
             )
-    roots = e.select(F.col("v").alias("node")).distinct().join(
-        labels.select("node"), "node", "left_anti"
-    ).withColumn("component", F.col("node"))
-    out = labels.union(roots)
+            if bad:
+                raise RuntimeError(
+                    "connected_components: fixpoint is not a star forest "
+                    f"({bad} non-root edge targets) — fingerprint collision?"
+                )
+        roots = e.select(F.col("v").alias("node")).distinct().join(
+            labels.select("node"), "node", "left_anti"
+        ).withColumn("component", F.col("node"))
+        out = labels.union(roots)
     if nodes is not None:
         ncol = nodes.columns[0]
         allnodes = nodes.select(F.col(ncol).alias("node")).distinct()

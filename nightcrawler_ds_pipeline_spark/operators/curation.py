@@ -23,9 +23,13 @@ Everything stays JVM-side DataFrame algebra except the CC rounds (joins)
 and the opt-in real models (Arrow-batched pandas UDFs); the full-corpus
 shuffle chain is: filter → hash-agg (exact dedup) → groupBy(shingle) with
 map-side combine (span-dup) → explode/agg (signatures) → band equi-join
-(candidates) → O(log n) CC rounds. No crossJoin, no driver-side data, no
-row-at-a-time UDF — at 100 TB every stage is a key-partitioned shuffle AQE
-can size.
+(candidates) → O(log n) CC rounds. No crossJoin, no row-at-a-time UDF — at
+100 TB every stage is a key-partitioned shuffle AQE can size. The only
+driver-side data is bounded by construction: convergence scalars per CC
+round, plus the size-gated small-graph CC fast path (components.py —
+post-LSH edge sets under 200k rows, exactly pre-counted, are labeled by a
+driver union-find instead of paying the fixpoint's ~5 s/round scheduling
+floor; above the gate the distributed rounds run unchanged).
 
 The DuckDB oracle mirrors the whole DEFAULT chain (recursive CTE for the
 CC step), so the driver hash-checks the END-TO-END result, not just the

@@ -7,6 +7,7 @@ not its implementation.
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from nightcrawler_ds_pipeline_spark.operators.components import (
@@ -33,18 +34,23 @@ def _union_find(nodes, edges):
     return {n: min(members) for members in comp.values() for n in members}
 
 
-def _run(spark, nodes, edges):
+def _run(spark, nodes, edges, **kw):
     edf = spark.createDataFrame(
         [(int(u), int(v)) for u, v in edges] or [(0, 0)], "u long, v long"
     )
     if not edges:
         edf = edf.filter(F.lit(False))
     ndf = spark.createDataFrame([(int(n),) for n in nodes], "node long")
-    got = connected_components(edf, nodes=ndf).collect()
+    got = connected_components(edf, nodes=ndf, **kw).collect()
     return {r["node"]: r["component"] for r in got}
 
 
-def test_random_graphs_match_union_find(spark):
+# local_edges_max=0 forces the distributed star fixpoint; the default takes
+# the size-gated driver union-find path for these toy graphs — both must
+# match the framework-independent oracle
+@pytest.mark.parametrize("lmax", [None, 0], ids=["local", "distributed"])
+def test_random_graphs_match_union_find(spark, lmax):
+    kw = {} if lmax is None else {"local_edges_max": lmax}
     rng = random.Random(7)
     for trial in range(4):
         n = rng.randint(5, 60)
@@ -54,16 +60,32 @@ def test_random_graphs_match_union_find(spark):
             for _ in range(rng.randint(0, 2 * n))
         ]
         expect = _union_find(nodes, edges)
-        got = _run(spark, nodes, edges)
+        got = _run(spark, nodes, edges, **kw)
         assert got == expect, f"trial {trial} n={n}"
 
 
-def test_long_chain_converges_logarithmically(spark):
+@pytest.mark.parametrize("lmax", [None, 0], ids=["local", "distributed"])
+def test_long_chain_converges_logarithmically(spark, lmax):
     # a 64-node path exercises multi-round convergence (diameter ≫ rounds)
+    kw = {} if lmax is None else {"local_edges_max": lmax}
     nodes = list(range(64))
     edges = [(i, i + 1) for i in range(63)]
-    got = _run(spark, nodes, edges)
+    got = _run(spark, nodes, edges, **kw)
     assert got == {i: 0 for i in nodes}
+
+
+def test_local_path_taken_below_threshold_and_matches_distributed(spark):
+    # the gate reads the exact deduped edge count: below the threshold the
+    # stats carry local_edges + rounds=0; forcing the distributed path on
+    # the same input yields the identical labeling
+    edges = [(i, i + 7) for i in range(0, 190, 3)] + [(5, 90), (1, 181)]
+    nodes = list(range(200))
+    s_local, s_dist = {}, {}
+    got_local = _run(spark, nodes, edges, stats=s_local)
+    got_dist = _run(spark, nodes, edges, stats=s_dist, local_edges_max=0)
+    assert s_local["rounds"] == 0 and s_local["local_edges"] > 0
+    assert s_dist["rounds"] > 0 and "local_edges" not in s_dist
+    assert got_local == got_dist == _union_find(nodes, edges)
 
 
 def test_isolated_nodes_label_themselves(spark):
@@ -81,14 +103,16 @@ def test_self_loops_and_duplicate_edges(spark):
     assert got == {0: 0, 1: 1, 2: 1}
 
 
-def test_string_ids(spark):
+@pytest.mark.parametrize("lmax", [None, 0], ids=["local", "distributed"])
+def test_string_ids(spark, lmax):
+    kw = {} if lmax is None else {"local_edges_max": lmax}
     edf = spark.createDataFrame(
         [("img_b", "img_c"), ("img_a", "img_b")], "u string, v string"
     )
     ndf = spark.createDataFrame([("img_a",), ("img_b",), ("img_c",), ("img_z",)], "node string")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(edf, nodes=ndf).collect()
+        for r in connected_components(edf, nodes=ndf, **kw).collect()
     }
     assert got == {
         "img_a": "img_a",
