@@ -27,9 +27,10 @@ map-side combine (span-dup) → explode/agg (signatures) → band equi-join
 100 TB every stage is a key-partitioned shuffle AQE can size. The only
 driver-side data is bounded by construction: convergence scalars per CC
 round, plus the size-gated small-graph CC fast path (components.py —
-post-LSH edge sets under 200k rows, exactly pre-counted, are labeled by a
-driver union-find instead of paying the fixpoint's ~5 s/round scheduling
-floor; above the gate the distributed rounds run unchanged).
+post-LSH edge sets under 4M rows, exactly pre-counted, are Arrow-collected
+and labeled by a driver union-find instead of paying the fixpoint's
+~5 s/round scheduling floor; above the gate the distributed rounds run
+unchanged).
 
 The DuckDB oracle mirrors the whole DEFAULT chain (recursive CTE for the
 CC step), so the driver hash-checks the END-TO-END result, not just the
