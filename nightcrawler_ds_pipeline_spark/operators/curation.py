@@ -52,6 +52,8 @@ from nightcrawler_ds_pipeline_spark.operators.components import (
     connected_components,
 )
 from nightcrawler_ds_pipeline_spark.operators.dedup import (
+    BAND_SIZE as DEDUP_BAND_SIZE,
+    NUM_MINHASHES as DEDUP_NUM_MINHASHES,
     decontaminate_df,
     minhash_band_star_edges_df,
     minhash_pairs_sql,
@@ -108,12 +110,30 @@ class CurationConfig:
     # "middle_tail" keeps only head. None disables (the oracle-parity
     # default; like the other real-model switches this is a pytest path).
     ppl_drop: str | None = None
+    # LSH banding strength (dedup.py module comment): the defaults (8
+    # hashes, 4 bands × 2 rows) are the oracle-parity knee ≈ 0.5; the
+    # per-pair false-positive rate j^band_size × C(n,2) pairs is a
+    # birthday effect that merges unrelated docs into giant components at
+    # 10^6+ docs (measured: 20k planted clusters → 3.2k components at 1M
+    # synthetic docs). Corpus-scale runs should raise both (e.g. 16 × 4 —
+    # same ~0.7 knee as Lee et al.'s production tables, FP rate j^4).
+    lsh_num_hashes: int = DEDUP_NUM_MINHASHES
+    lsh_band_size: int = DEDUP_BAND_SIZE
 
     def __post_init__(self):
         if self.lang_model not in ("marker", "ngram"):
             raise ValueError(f"CurationConfig: unknown lang_model {self.lang_model!r}")
         if self.ppl_drop not in (None, "tail", "middle_tail"):
             raise ValueError(f"CurationConfig: unknown ppl_drop {self.ppl_drop!r}")
+        if (
+            self.lsh_num_hashes <= 0
+            or self.lsh_band_size <= 0
+            or self.lsh_num_hashes % self.lsh_band_size
+        ):
+            raise ValueError(
+                "CurationConfig: lsh_num_hashes must be a positive multiple "
+                f"of lsh_band_size (got {self.lsh_num_hashes}/{self.lsh_band_size})"
+            )
 
 
 DEFAULT_CURATION = CurationConfig()
@@ -278,7 +298,9 @@ def curate(
     # hash-checked against the DuckDB oracle, so the 2^-64 fingerprint-
     # collision risk is accepted on this hot path (the guard stays on by
     # default everywhere else, incl. the standalone CC query)
-    edges = minhash_band_star_edges_df(kept.select("doc_id", "text"))
+    edges = minhash_band_star_edges_df(
+        kept.select("doc_id", "text"), cfg.lsh_num_hashes, cfg.lsh_band_size
+    )
     cc_stats: dict = {}
     cc = connected_components(
         edges, nodes=kept.select("doc_id"), verify=False, stats=cc_stats

@@ -28,6 +28,18 @@ _WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 NUM_MINHASHES = 8
 BAND_SIZE = 2  # → 4 bands
+# Default banding (b=4 bands × r=2 rows) targets the ~0.5 Jaccard knee
+# ((1/b)^(1/r)) and is what every registered oracle mirrors. The per-PAIR
+# false-positive rate of a band is j^r, and candidate edges grow with
+# C(n,2)·b·j^r — a birthday effect that is invisible at oracle scale but
+# measured at 1M synthetic docs (background Jaccard ≈ 10^-3): 2.2M
+# candidate edges, collapsing 20k planted clusters into 3.2k giant
+# components. At 10^9+ docs real pipelines run r=4-10 (Lee et al. ACL'22
+# use b=20,r=45 per 0.8-threshold table); every function below therefore
+# takes (num_hashes, band_size) overrides, and CurationConfig exposes
+# them as lsh_num_hashes / lsh_band_size. Registered queries stay on the
+# defaults — their DuckDB twins compose minhash_pairs_sql with the same
+# parameters, so a override cannot desync an oracle.
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -56,13 +68,17 @@ def dedup_exact(spark, sf_dir):
 
 
 # --- MinHash signatures (oracle-checked) -------------------------------------
-def _minhash_sql_cols() -> str:
+def _minhash_sql_cols(num_hashes: int = NUM_MINHASHES) -> str:
     return ", ".join(
-        f"min(md5(w || '#{i}')) AS h{i}" for i in range(NUM_MINHASHES)
+        f"min(md5(w || '#{i}')) AS h{i}" for i in range(num_hashes)
     )
 
 
-def minhash_pairs_sql(source: str) -> str:
+def minhash_pairs_sql(
+    source: str,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
     """DuckDB CTE fragment ``tok, sig, bands, pairs`` computing the banded
     MinHash candidate pairs over ``source`` (any table expression with
     doc_id, text). THE single definition of the salt scheme + banding on
@@ -71,14 +87,14 @@ def minhash_pairs_sql(source: str) -> str:
     one of them."""
     band_union = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"concat({', '.join(f'h{b * BAND_SIZE + j}' for j in range(BAND_SIZE))})"
+        f"concat({', '.join(f'h{b * band_size + j}' for j in range(band_size))})"
         f" AS band_key FROM sig"
-        for b in range(NUM_MINHASHES // BAND_SIZE)
+        for b in range(num_hashes // band_size)
     )
     return f"""tok AS (
       SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS w FROM {source}
     ),
-    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_minhash_sql_cols(num_hashes)} FROM tok GROUP BY doc_id),
     bands AS (
       {band_union}
     ),
@@ -90,7 +106,9 @@ def minhash_pairs_sql(source: str) -> str:
     )"""
 
 
-def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+def minhash_signatures_df(
+    docs: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
     """(doc_id, text) → (doc_id, h0..h{n-1}) MinHash signatures — the
     single Spark-side definition of the token split + '#seed' salt.
 
@@ -115,31 +133,39 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
         F.min(
             F.md5(F.encode(F.concat(F.col("w"), F.lit(f"#{i}")), "utf-8"))
         ).alias(f"h{i}")
-        for i in range(NUM_MINHASHES)
+        for i in range(num_hashes)
     ]
     return tok.groupBy("doc_id").agg(*aggs)
 
 
-def _band_rows_df(docs: DataFrame) -> DataFrame:
+def _band_rows_df(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     """(doc_id, text) → (doc_id, band_id, band_key) — one row per document
     per band. The single Spark-side banding definition; both the clique-pair
     and star-edge formulations below derive from it."""
-    sig = minhash_signatures_df(docs)
+    sig = minhash_signatures_df(docs, num_hashes)
     band_exprs = [
         F.struct(
             F.lit(b).alias("band_id"),
             F.concat(
-                *[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
             ).alias("band_key"),
         )
-        for b in range(NUM_MINHASHES // BAND_SIZE)
+        for b in range(num_hashes // band_size)
     ]
     return sig.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
-def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
+def minhash_band_pairs_df(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     """(doc_id, text) → distinct candidate pairs (id_a < id_b) via the
     banded bucket equi-join. The Spark twin of ``minhash_pairs_sql``.
 
@@ -147,7 +173,7 @@ def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
     the pairs themselves are the product (verification, similarity scoring),
     but quadratic in the hottest bucket. When the pairs only feed connected
     components, use ``minhash_band_star_edges_df`` instead."""
-    bands = _band_rows_df(docs)
+    bands = _band_rows_df(docs, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -161,7 +187,11 @@ def minhash_band_pairs_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_star_edges_df(docs: DataFrame) -> DataFrame:
+def minhash_band_star_edges_df(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     """(doc_id, text) → (id_a, id_b) star edges: every bucket member joined
     to its bucket's MINIMUM doc_id. Connectivity-equivalent to
     ``minhash_band_pairs_df`` — within one bucket the star reaches exactly
@@ -187,7 +217,7 @@ def minhash_band_star_edges_df(docs: DataFrame) -> DataFrame:
     is a 10^6-row partition sort, same order as the groupBy's shuffle."""
     from pyspark.sql import Window
 
-    bands = _band_rows_df(docs)
+    bands = _band_rows_df(docs, num_hashes, band_size)
     w = Window.partitionBy("band_id", "band_key")
     return (
         bands.withColumn("id_a", F.min("doc_id").over(w))
