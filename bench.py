@@ -372,7 +372,7 @@ def _paired_runs(
         # 1.27 against siblings at 0.74-0.76. Probe each timed run on BOTH
         # sides and use the mean (a trapezoid estimate of the contention
         # the run actually saw); both raw readings stay in the pair record.
-        for _ in range(reps):
+        def _timed_pair() -> dict:
             p8a = _probe(w8, "8")
             r8 = w8.cmd(cmd, run_timeout)
             p8b = _probe(w8, "8")
@@ -384,22 +384,59 @@ def _paired_runs(
             t8, t32 = r8[tp_key], r32[tp_key]
             speedup = t32 / t8
             hw_speedup = p32 / p8
-            pairs.append(
-                {
-                    "t8": t8,
-                    "t32": t32,
-                    "probe8": p8,
-                    "probe32": p32,
-                    "probe8_pre_post": [p8a, p8b],
-                    "probe32_pre_post": [p32a, p32b],
-                    "speedup": round(speedup, 3),
-                    "efficiency_vs_4x": round(speedup / 4.0, 3),
-                    "hw_speedup": round(hw_speedup, 3),
-                    "spark_layer_efficiency": round(speedup / hw_speedup, 3),
-                }
-            )
             detail["local[8]"]["runs"].append(r8)
             detail["local[32]"]["runs"].append(r32)
+            return {
+                "t8": t8,
+                "t32": t32,
+                "probe8": p8,
+                "probe32": p32,
+                "probe8_pre_post": [p8a, p8b],
+                "probe32_pre_post": [p32a, p32b],
+                "speedup": round(speedup, 3),
+                "efficiency_vs_4x": round(speedup / 4.0, 3),
+                "hw_speedup": round(hw_speedup, 3),
+                "spark_layer_efficiency": round(speedup / hw_speedup, 3),
+            }
+
+        for _ in range(reps):
+            pairs.append(_timed_pair())
+        # OUT-OF-BAND PAIR RE-RUN (VERDICT r4 #2: "re-run a leg whose
+        # colocated probe lands outside the healthy band, keeping the
+        # matched-probe window"). A pair whose bracketed probe mean sits
+        # >20% from the cross-pair median on either leg ran in a different
+        # contention regime than its siblings (r5 window 22: pair-1
+        # probe32 244 vs 380/403 — its 32-run hit a host stall and still
+        # contaminated the per-leg medians through cross-pair mixing).
+        # Re-run the worst offender once per allowance; adopt the re-run
+        # only if ITS probes land in band, else keep the original. The
+        # displaced pair stays in the detail for attribution.
+        reruns = max(0, int(os.environ.get("SPARK_GRAFT_SCALING_RERUNS", "2")))
+        displaced: list[dict] = []
+        if len(pairs) >= 3:
+            med_ = statistics.median
+
+            def _band_dev(p, p8m, p32m) -> float:
+                return max(
+                    abs(p["probe8"] / p8m - 1.0), abs(p["probe32"] / p32m - 1.0)
+                )
+
+            for _ in range(reruns):
+                p8m = med_(p["probe8"] for p in pairs)
+                p32m = med_(p["probe32"] for p in pairs)
+                worst = max(pairs, key=lambda p: _band_dev(p, p8m, p32m))
+                if _band_dev(worst, p8m, p32m) <= 0.20:
+                    break
+                fresh = _timed_pair()
+                if _band_dev(fresh, p8m, p32m) <= 0.20:
+                    displaced.append(worst)
+                    pairs[pairs.index(worst)] = fresh
+                else:
+                    # both windows disagree with the session median — record
+                    # the attempt, keep the original, stop burning time
+                    displaced.append({**fresh, "rerun_rejected": True})
+                    break
+        detail["displaced_pairs"] = displaced
         if with_profile:
             detail["local[8]"]["stage_profile"] = w8.cmd("profile", 1800)
             detail["local[32]"]["stage_profile"] = w32.cmd("profile", 1800)
