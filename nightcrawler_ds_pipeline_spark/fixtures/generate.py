@@ -287,6 +287,48 @@ def fixture_dir(tier: str, root: str | None = None) -> str:
     return os.path.join(root, tier)
 
 
+def _retire_stale_cache(out: str) -> None:
+    """Retire an outdated fixture dir by RENAME ONLY, then sweep retired
+    copies from PREVIOUS runs.
+
+    The rename is atomic, so a concurrent reader sees either the old
+    complete dir or none — never a half-deleted one. The retired copy
+    is deliberately LEFT ON DISK: a reader that already planned a
+    Spark/pyarrow scan against the old dir's file listing would fail
+    mid-read if we rmtree'd it here (this race only opens on
+    FIXTURE_VERSION bumps). Retired copies older than the 1-hour grace
+    (no longer reachable by any live reader) are swept."""
+    import shutil
+    import time
+    import uuid
+
+    retired = f"{out}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(out, retired)
+        # os.rename does NOT touch the directory's own mtime, so the
+        # sweep below would otherwise measure time-since-GENERATION and
+        # immediately reap a cache that was retired seconds ago (caches
+        # persist across sessions, so they are normally hours old).
+        # Stamp retirement time explicitly: the 1-hour grace then
+        # measures time since retirement, keeping the in-flight-reader
+        # guarantee the rename-only scheme was written for.
+        os.utime(retired)
+    except OSError:
+        pass
+    parent = os.path.dirname(out) or "."
+    base = os.path.basename(out)
+    for entry in os.listdir(parent):
+        if not entry.startswith(f"{base}.stale-"):
+            continue
+        path = os.path.join(parent, entry)
+        try:
+            old_enough = time.time() - os.path.getmtime(path) > 3600
+        except OSError:
+            continue
+        if old_enough:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
     """Generate + write all fixture tables for a tier.
 
@@ -298,8 +340,6 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    import uuid
-
     out = fixture_dir(tier, root)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
@@ -310,42 +350,7 @@ def write_fixture_parquet(tier: str = "t1", root: str | None = None) -> str:
             current = False  # a racer retired the dir between exists+open
         if current:
             return out
-        # stale cache from an older generator: retire it by RENAME ONLY.
-        # The rename is atomic, so a concurrent reader sees either the old
-        # complete dir or none — never a half-deleted one. The retired copy
-        # is deliberately LEFT ON DISK: a reader that already planned a
-        # Spark/pyarrow scan against the old dir's file listing would fail
-        # mid-read if we rmtree'd it here (this race only opens on
-        # FIXTURE_VERSION bumps). Retired copies from PREVIOUS runs (no
-        # longer reachable by any live reader of this process tree) are
-        # swept instead.
-        retired = f"{out}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(out, retired)
-            # os.rename does NOT touch the directory's own mtime, so the
-            # sweep below would otherwise measure time-since-GENERATION and
-            # immediately reap a cache that was retired seconds ago (caches
-            # persist across sessions, so they are normally hours old).
-            # Stamp retirement time explicitly: the 1-hour grace then
-            # measures time since retirement, keeping the in-flight-reader
-            # guarantee the rename-only scheme was written for.
-            os.utime(retired)
-        except OSError:
-            pass
-        import time
-
-        parent = os.path.dirname(out) or "."
-        base = os.path.basename(out)
-        for entry in os.listdir(parent):
-            if not entry.startswith(f"{base}.stale-"):
-                continue
-            path = os.path.join(parent, entry)
-            try:
-                old_enough = time.time() - os.path.getmtime(path) > 3600
-            except OSError:
-                continue
-            if old_enough:
-                shutil.rmtree(path, ignore_errors=True)
+        _retire_stale_cache(out)
     staging = f"{out}.staging-{os.getpid()}"
     os.makedirs(staging, exist_ok=True)
     sizes = TIERS[tier]
