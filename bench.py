@@ -293,6 +293,49 @@ class _ScalingWorker:
             pass
 
 
+def _probe_band_deviation(pair: dict, p8_median: float, p32_median: float) -> float:
+    """How far a pair's bracketed probe means sit from the cross-pair
+    medians — the worse of the two legs, as a relative deviation."""
+    return max(
+        abs(pair["probe8"] / p8_median - 1.0),
+        abs(pair["probe32"] / p32_median - 1.0),
+    )
+
+
+def _rerun_out_of_band_pairs(pairs: list, rerun_fn, reruns: int) -> list:
+    """OUT-OF-BAND PAIR RE-RUN (VERDICT r4 #2: "re-run a leg whose
+    colocated probe lands outside the healthy band, keeping the
+    matched-probe window"). A pair whose bracketed probe mean sits >20%
+    from the cross-pair median on either leg ran in a different contention
+    regime than its siblings (r5 window 22: pair-1 probe32 244 vs 380/403
+    — its 32-run hit a host stall and still contaminated the per-leg
+    medians through cross-pair mixing). Re-run the worst offender once per
+    allowance; adopt the re-run only if ITS probes land in band, else keep
+    the original. Mutates ``pairs`` in place; returns the displaced pairs
+    (kept for attribution). Needs ≥3 pairs for the median to be a band."""
+    import statistics
+
+    displaced: list[dict] = []
+    if len(pairs) < 3:
+        return displaced
+    for _ in range(reruns):
+        p8m = statistics.median(p["probe8"] for p in pairs)
+        p32m = statistics.median(p["probe32"] for p in pairs)
+        worst = max(pairs, key=lambda p: _probe_band_deviation(p, p8m, p32m))
+        if _probe_band_deviation(worst, p8m, p32m) <= 0.20:
+            break
+        fresh = rerun_fn()
+        if _probe_band_deviation(fresh, p8m, p32m) <= 0.20:
+            displaced.append(worst)
+            pairs[pairs.index(worst)] = fresh
+        else:
+            # both windows disagree with the session median — record the
+            # attempt, keep the original, stop burning time
+            displaced.append({**fresh, "rerun_rejected": True})
+            break
+    return displaced
+
+
 def _paired_runs(
     cmd: str,
     tp_key: str,
@@ -401,42 +444,10 @@ def _paired_runs(
 
         for _ in range(reps):
             pairs.append(_timed_pair())
-        # OUT-OF-BAND PAIR RE-RUN (VERDICT r4 #2: "re-run a leg whose
-        # colocated probe lands outside the healthy band, keeping the
-        # matched-probe window"). A pair whose bracketed probe mean sits
-        # >20% from the cross-pair median on either leg ran in a different
-        # contention regime than its siblings (r5 window 22: pair-1
-        # probe32 244 vs 380/403 — its 32-run hit a host stall and still
-        # contaminated the per-leg medians through cross-pair mixing).
-        # Re-run the worst offender once per allowance; adopt the re-run
-        # only if ITS probes land in band, else keep the original. The
-        # displaced pair stays in the detail for attribution.
         reruns = max(0, int(os.environ.get("SPARK_GRAFT_SCALING_RERUNS", "2")))
-        displaced: list[dict] = []
-        if len(pairs) >= 3:
-            med_ = statistics.median
-
-            def _band_dev(p, p8m, p32m) -> float:
-                return max(
-                    abs(p["probe8"] / p8m - 1.0), abs(p["probe32"] / p32m - 1.0)
-                )
-
-            for _ in range(reruns):
-                p8m = med_(p["probe8"] for p in pairs)
-                p32m = med_(p["probe32"] for p in pairs)
-                worst = max(pairs, key=lambda p: _band_dev(p, p8m, p32m))
-                if _band_dev(worst, p8m, p32m) <= 0.20:
-                    break
-                fresh = _timed_pair()
-                if _band_dev(fresh, p8m, p32m) <= 0.20:
-                    displaced.append(worst)
-                    pairs[pairs.index(worst)] = fresh
-                else:
-                    # both windows disagree with the session median — record
-                    # the attempt, keep the original, stop burning time
-                    displaced.append({**fresh, "rerun_rejected": True})
-                    break
-        detail["displaced_pairs"] = displaced
+        detail["displaced_pairs"] = _rerun_out_of_band_pairs(
+            pairs, _timed_pair, reruns
+        )
         if with_profile:
             detail["local[8]"]["stage_profile"] = w8.cmd("profile", 1800)
             detail["local[32]"]["stage_profile"] = w32.cmd("profile", 1800)
