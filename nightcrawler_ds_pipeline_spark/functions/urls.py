@@ -93,6 +93,58 @@ def canonicalize(url: str) -> str:
     return remove_tracking_parameters(url)
 
 
+# --- vectorized canonicalize fast paths -------------------------------------
+# The urllib rebuild costs ~10 µs/row of interpreted Python; at crawl-loop
+# scale the canonicalize UDF is the hottest Python in the engine. Two fast
+# paths cover the overwhelmingly common URL shapes EXACTLY (fuzz-pinned
+# against the urllib path in tests/test_url_functions.py), everything else
+# falls through to urllib:
+#
+# 1. no query string: urlparse→urlunparse is the identity for lowercase
+#    http(s) URLs with a non-empty netloc and no ';' (urlparse would split
+#    path params and a bare trailing ';' is dropped on rebuild — excluded).
+# 2. strict k=v&k=v query where every character is quote()-safe
+#    ([A-Za-z0-9_.~-]): parse_qsl→urlencode round-trips these verbatim, so
+#    the rebuild reduces to "drop tracker pairs, rejoin with '&'". Anything
+#    with '%', '+', ' ', '/', ':', blank keys, '#', or malformed pairs is
+#    excluded (those are the shapes where urllib re-encodes).
+_NOQ_RE = re.compile(r"^https?://[^/?;#][^?;]*$")
+_SAFEQ_RE = re.compile(
+    r"^https?://[^/?;#][^?#;]*\?"
+    r"[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*"
+    r"(?:&[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*)*$"
+)
+
+
+def _light_canon(url: str) -> str:
+    """canonicalize() for URLs matching _SAFEQ_RE (all-safe chars, strict
+    k=v&k=v structure): drop tracker pairs, rejoin — no urllib needed."""
+    base, query = url.split("?", 1)
+    if url.startswith("https://www.ebay"):
+        return base
+    kept = [
+        p
+        for p in query.split("&")
+        if not p.split("=", 1)[0].startswith(_KNOWN_TRACKER_PREFIXES)
+    ]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalize over a pandas Series — exact parity with
+    ``canonicalize`` per element (null-preserving)."""
+    s = urls.fillna("")
+    noq = s.str.match(_NOQ_RE)
+    safeq = s.str.match(_SAFEQ_RE)
+    out = urls.copy()
+    slow = ~(noq | safeq) & urls.notna()
+    if safeq.any():
+        out[safeq] = s[safeq].map(_light_canon)
+    if slow.any():
+        out[slow] = s[slow].map(canonicalize)
+    return out
+
+
 def double_urlencode(url: str) -> str:
     """F8 — quote_plus applied twice: the reverse-image query-URL quirk.
 
@@ -111,7 +163,7 @@ def double_urlencode_udf(urls: pd.Series) -> pd.Series:  # pragma: no cover - sp
 
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:  # pragma: no cover - spark
-    return urls.map(lambda u: canonicalize(u) if u is not None else None)
+    return canonicalize_series(urls)
 
 
 @F.pandas_udf(T.StringType())

@@ -102,3 +102,57 @@ def test_mask_token_col_reference_parity(spark):
         for r in df.select(mask_token_col("s", "").alias("m")).collect()
     ]
     assert sorted(raw) == sorted(cases)
+
+
+def test_canonicalize_series_parity_handcrafted_and_fuzz():
+    """The vectorized canonicalize fast paths (r6 optimization) must agree
+    with the urllib path element-for-element: handcrafted edge shapes plus
+    a seeded fuzz corpus covering path params, fragments, percent/plus
+    encodings, blank values, empty netlocs, scheme case, ebay, and tracker
+    prefix-extended keys."""
+    import random
+
+    import pandas as pd
+
+    from nightcrawler_ds_pipeline_spark.functions.urls import (
+        canonicalize_series,
+    )
+
+    corpus = [
+        "https://shop1.example.com/p/123",
+        "https://shop1.example.com/p/123?utm_source=serp&aa=bb",
+        "https://shop1.example.com/p/124?srsltid=XYZ",
+        "https://www.ebay.com/itm/1?x=1&y=2",
+        "https://www.ebayx.com/itm/1?a=b",
+        "https://x.com/p?", "https://x.com/p?a", "https://x.com/p?a=",
+        "https://x.com/p?a=b&", "https://x.com/p?a=b&&c=d",
+        "https://x.com/p?a=b+c", "https://x.com/p?a=b%20c",
+        "https://x.com/p?a=b/c", "https://x.com/p?a=b:c",
+        "https://x.com/p?utm_sourcefoo=1&b=2", "https://x.com/p?xutm_source=1",
+        "https://x.com/p?srsltid=1#frag", "https://x.com/p#frag",
+        "HTTP://x.com/p", "http://x.com/p;param", "http://x.com/p;",
+        "https:////", "ftp://x.com/a?b=c", "//host/p?a=b",
+        "not a url at all", "https://x.com/p?a=b=c",
+        "https://x.com/p?utm_source=a&utm_source=b&k=v",
+        "https://x.com/p?k=v&k=w", "https://x.com/p?K=V",
+        "https://x.com/p?a=~b-._c", "", None,
+    ]
+    rng = random.Random(7)
+    chars = "abcXYZ019_.~-%+/:;?&=# "
+    for _ in range(3000):
+        scheme = rng.choice(["https://", "http://", "", "HTTPS://", "https:////"])
+        host = rng.choice(["x.com", "www.ebay.com", "shop9.example.com", "", "u@x.com:8080"])
+        path = rng.choice(["", "/"]) + "".join(
+            rng.choice("abc/;.") for _ in range(rng.randint(0, 6))
+        )
+        q = ""
+        if rng.random() < 0.75:
+            q = "?" + "".join(rng.choice(chars) for _ in range(rng.randint(0, 14)))
+        if rng.random() < 0.2:
+            q += "#" + "".join(rng.choice("abc?&=;") for _ in range(3))
+        corpus.append(scheme + host + path + q)
+    ser = pd.Series(corpus, dtype=object)
+    fast = canonicalize_series(ser)
+    ref = ser.map(lambda u: canonicalize(u) if u is not None else None)
+    for u, a, b in zip(corpus, fast, ref):
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), (u, a, b)
