@@ -110,6 +110,29 @@ def run_crawl_profile() -> None:
     SnapshotCatalog.write = timed_write
     SnapshotCatalog.read = timed_read
 
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    orig_count = DataFrame.count
+    orig_collect = DataFrame.collect
+
+    def timed_count(self):
+        t0 = time.time()
+        r = orig_count(self)
+        events.append(("action:count", time.time() - t0))
+        return r
+
+    def timed_collect(self):
+        t0 = time.time()
+        r = orig_collect(self)
+        events.append(("action:collect", time.time() - t0))
+        return r
+
+    DataFrame.count = timed_count
+    DataFrame.collect = timed_collect
+
     # time the whole run plus a coarse per-iteration trace via events
     cat_dir = tempfile.mkdtemp(prefix="ncds_prof_cat_")
     try:
@@ -121,6 +144,8 @@ def run_crawl_profile() -> None:
     finally:
         SnapshotCatalog.write = orig_write
         SnapshotCatalog.read = orig_read
+        DataFrame.count = orig_count
+        DataFrame.collect = orig_collect
         shutil.rmtree(cat_dir, ignore_errors=True)
     total_urls = sum(i["dequeued"] for i in summary["iterations"])
     agg: dict[str, float] = {}

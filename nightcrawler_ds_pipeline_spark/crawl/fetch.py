@@ -45,10 +45,17 @@ def fetch_batch(
         "outlinks",
         "seconds_taken",
     )
-    # left join keeps every dequeued row (missing response → error row);
-    # only the right side could broadcast and it's the big one, so this is
-    # a shuffle join by construction — AQE sizes it.
-    joined = batch.join(resp, "url", "left")
+    # left join keeps every dequeued row (missing response → error row).
+    # The batch is politeness-bounded (hosts × budget) — small by
+    # construction at every scale — while resp is the web. Shrink resp to
+    # the batch's URLs with a broadcast semi-join FIRST (guide §3.2: reduce
+    # the big side before it shuffles), after which the surviving resp side
+    # is ≤ |batch| rows and broadcasts: the batch rows never shuffle at all
+    # (previously both sides exchanged on url).
+    resp = resp.join(
+        F.broadcast(batch.select("url").distinct()), "url", "left_semi"
+    )
+    joined = batch.join(F.broadcast(resp), "url", "left")
     joined = joined.withColumn(
         "error", F.coalesce(F.col("fetch_error"), F.lit(True))
     ).drop("fetch_error")

@@ -501,15 +501,22 @@ def run_crawl(
         w_edge = Window.partitionBy("url_hash").orderBy(
             F.col("priority").desc(), F.col("url").asc()
         )
+        # one combined anti-join instead of three sequential ones: the
+        # excluded key sets (this batch, still-active seen, remaining
+        # frontier) union into a single bare-key frame first — same result,
+        # two fewer join stages per iteration (an anti-join needs no
+        # distinct on its right side)
+        exclude = new_seen.select("url_hash").unionByName(
+            remaining.select("url_hash")
+        )
+        if seen is not None:
+            exclude = exclude.unionByName(seen.select("url_hash"))
         edges = (
             edges.withColumn("__rn", F.row_number().over(w_edge))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .join(new_seen.select("url_hash"), "url_hash", "left_anti")
+            .join(exclude, "url_hash", "left_anti")
         )
-        if seen is not None:
-            edges = edges.join(seen.select("url_hash"), "url_hash", "left_anti")
-        edges = edges.join(remaining.select("url_hash"), "url_hash", "left_anti")
 
         next_frontier = remaining.unionByName(edges.select(*FRONTIER_COLS))
         if cfg.frontier_shuffle_partitions:
@@ -522,24 +529,23 @@ def run_crawl(
             gated_hosts, batch, bucket_state, window_ms=cfg.window_ms
         )
 
-        # 6. commit snapshots — lineage strictly last (the commit point)
+        # 6. commit snapshots — lineage strictly last (the commit point).
+        # The five non-lineage snapshots are mutually independent once the
+        # shared caches are materialized, and each is a small job whose
+        # stragglers leave most of local[N] idle — so materialize the shared
+        # lineage ONCE (batch via a cheap count on the cached dequeue,
+        # deduped via the one-pass metrics aggregate, which runs the whole
+        # fetch+decode chain), then run the writes CONCURRENTLY from a small
+        # thread pool (guide §2.6: actions are only sequential because the
+        # driver calls them sequentially; concurrent jobs back-fill each
+        # other's task tails). Crash semantics are unchanged: any subset of
+        # these snapshots without the lineage finalizer is rolled back by
+        # rollback_above on resume, in whatever order it was written.
         meta = {"iter": it}
-        catalog.write(new_buckets, "politeness", mode="overwrite", meta=meta)
-        catalog.write(results, "results", mode="append", meta=meta)
-        catalog.write(new_seen, "seen", mode="append", meta=meta)
-        if use_sketch:
-            sk_meta = dict(meta)
-            if cfg.sketch == "cuckoo":
-                # the maintenance TTL travels with the snapshot: a resume
-                # under a different ttl_iters must rebuild (see the
-                # freshness check at the top of the loop)
-                sk_meta["ttl_iters"] = cfg.ttl_iters
-            catalog.write(
-                merged_sketch, sketch_table, mode="overwrite", meta=sk_meta
-            )
-        catalog.write(next_frontier, "frontier", mode="overwrite", meta=meta)
+        batch.count()  # materialize the cached dequeue before fan-out
 
-        # one-pass metrics aggregate (vs one action per counter)
+        # one-pass metrics aggregate (vs one action per counter); also
+        # materializes the deduped cache that results/frontier both read
         mrow = deduped.agg(
             F.count("*").alias("n_results"),
             F.sum(
@@ -561,7 +567,32 @@ def run_crawl(
             ],
             schema=schemas.METRICS,
         )
-        catalog.write(metrics, "metrics", mode="append", meta=meta)
+
+        writes: list[tuple] = [
+            (new_buckets, "politeness", "overwrite", meta),
+            (results, "results", "append", meta),
+            (new_seen, "seen", "append", meta),
+            (next_frontier, "frontier", "overwrite", meta),
+            (metrics, "metrics", "append", meta),
+        ]
+        if use_sketch:
+            sk_meta = dict(meta)
+            if cfg.sketch == "cuckoo":
+                # the maintenance TTL travels with the snapshot: a resume
+                # under a different ttl_iters must rebuild (see the
+                # freshness check at the top of the loop)
+                sk_meta["ttl_iters"] = cfg.ttl_iters
+            writes.append((merged_sketch, sketch_table, "overwrite", sk_meta))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(catalog.write, df, table, mode=mode, meta=m)
+                for df, table, mode, m in writes
+            ]
+            for f in futures:
+                f.result()  # surface any write error BEFORE the commit point
 
         lineage = (
             deduped.groupBy(F.spark_partition_id().alias("partition_id"))

@@ -190,6 +190,14 @@ def assign_global_seq(
     with_local = ranged.withColumn(
         "__local", F.row_number().over(w_part).cast("long")
     )
+    if num_range_partitions == 1:
+        # single range partition ⇒ every offset is 0: the counts/offsets
+        # self-join below would add two shuffle stages per call for a
+        # constant — seq is just the partition-local rank (the window above
+        # keeps its defined partition spec; r6 crawl-loop latency cut)
+        return with_local.withColumn("seq", F.col("__local")).drop(
+            "__pid", "__local"
+        )
     # offsets: cumulative count of lower-pid partitions, via a ≤P×P self-join
     # on the ≤P-row counts frame (P ≤ 256) — windowless by design
     counts = with_local.groupBy("__pid").agg(F.count("*").alias("__cnt"))

@@ -100,17 +100,19 @@ def _price_col() -> Column:
 )
 def filter_swiss_flags(spark, sf_dir):
     urls = synth_urls(spark, sf_dir).withColumn("price", _price_col())
-    return (
-        add_swiss_features(urls, "url", "price")
-        .select(
-            "url",
-            "ch_de_in_url",
-            "swisscompany_in_url",
-            "web_extension_in_url",
-            "francs_in_url",
-            "result_sold_CH",
-        )
-        .orderBy("url")
+    # sort FIRST, flags after: the ~27 Contains per row then run distributed
+    # on the post-exchange partitions instead of inside the single-task scan
+    # (one-row-group parquet — the map side cannot split), and the query
+    # needs the range exchange for ORDER BY anyway, so this adds none.
+    return add_swiss_features(
+        urls.select("url", "price").orderBy("url"), "url", "price"
+    ).select(
+        "url",
+        "ch_de_in_url",
+        "swisscompany_in_url",
+        "web_extension_in_url",
+        "francs_in_url",
+        "result_sold_CH",
     )
 
 

@@ -52,11 +52,19 @@ def window_ctr_volume(spark, sf_dir):
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
     )
+    # repartition on the window key with exactly shuffle-partitions
+    # partitions: the window's ENSURE_REQUIREMENTS exchange is satisfied by
+    # this one (guide §2.4 — same key, same count ⇒ one exchange), and the
+    # full window sort runs distributed instead of the previous plan's
+    # single-task partial WindowGroupLimit sort (the source parquet is one
+    # row group — scans cannot split, so map-side work ran on 1 core).
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = (
         li.select(
             "l_orderkey", "l_linenumber", "l_quantity", "l_partkey",
             "l_suppkey", "l_extendedprice"
         )
+        .repartition(n, "l_orderkey")
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= 20)
     )
