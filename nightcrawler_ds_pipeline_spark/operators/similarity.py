@@ -73,8 +73,12 @@ _COS_DUCK = (
 )
 def sim_topk_bruteforce(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # spread the bounded query side before the nested-loop join — same
+    # single-scan-task hazard as dedup_embedding_cosine_pairs above
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
     pairs = (
@@ -94,7 +98,15 @@ def sim_topk_bruteforce(spark, sf_dir):
 # embedding-cosine near-duplicate pairs (semantic dedup)
 def dedup_embedding_cosine_pairs(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    # the cross join is a BroadcastNestedLoopJoin whose parallelism is the
+    # LEFT side's partitioning — the one-row-group source parquet scans as
+    # a single task, so all ~45k interpreted higher-order-function dot
+    # products ran on one core. Spread the bounded left side first
+    # (guide §2: distribute the map side). 1.9 s → 0.7 s at sf0.1.
+    n = spark.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).repartition(n)
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
