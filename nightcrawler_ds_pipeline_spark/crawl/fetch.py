@@ -22,11 +22,18 @@ from pyspark.sql import functions as F
 from nightcrawler_ds_pipeline_spark.functions.image_udfs import decode_images
 
 
+# Above this many dequeued rows the batch-side broadcast is no longer safe
+# (keys alone would be ~60 MB/1M rows; the politeness budget ordinarily keeps
+# iterations far below it) — fall back to the AQE-sized shuffle join.
+BROADCAST_BATCH_MAX = 1_000_000
+
+
 def fetch_batch(
     batch: DataFrame,
     responses: DataFrame,
     images: DataFrame,
     backend: str = "zyte",
+    batch_count: int | None = None,
 ) -> DataFrame:
     """Join the dequeued batch to fixture responses, resolve image bytes,
     decode, and compute phash. Missing response → error row (never drop —
@@ -46,16 +53,20 @@ def fetch_batch(
         "seconds_taken",
     )
     # left join keeps every dequeued row (missing response → error row).
-    # The batch is politeness-bounded (hosts × budget) — small by
-    # construction at every scale — while resp is the web. Shrink resp to
-    # the batch's URLs with a broadcast semi-join FIRST (guide §3.2: reduce
-    # the big side before it shuffles), after which the surviving resp side
-    # is ≤ |batch| rows and broadcasts: the batch rows never shuffle at all
-    # (previously both sides exchanged on url).
-    resp = resp.join(
-        F.broadcast(batch.select("url").distinct()), "url", "left_semi"
-    )
-    joined = batch.join(F.broadcast(resp), "url", "left")
+    # When the caller proves the batch is small (``batch_count``, which the
+    # crawl loop always knows from its dequeue count), shrink resp to the
+    # batch's URLs with a broadcast semi-join FIRST (guide §3.2: reduce the
+    # big side before it shuffles); the surviving resp side is ≤ |batch|
+    # rows and broadcasts, so the dequeued rows never shuffle at all.
+    # Unknown or over-threshold batch sizes keep the AQE-sized shuffle join
+    # — a forced broadcast of an unbounded dequeue would OOM at 10^10.
+    if batch_count is not None and batch_count <= BROADCAST_BATCH_MAX:
+        resp = resp.join(
+            F.broadcast(batch.select("url").distinct()), "url", "left_semi"
+        )
+        joined = batch.join(F.broadcast(resp), "url", "left")
+    else:
+        joined = batch.join(resp, "url", "left")
     joined = joined.withColumn(
         "error", F.coalesce(F.col("fetch_error"), F.lit(True))
     ).drop("fetch_error")

@@ -396,8 +396,8 @@ def run_crawl(
                 sketch_cached.unpersist()
             continue
 
-        # 3. fetch + decode + phash
-        fetched = fetch_batch(batch, responses, images)
+        # 3. fetch + decode + phash (n_batch proves the broadcast-size gate)
+        fetched = fetch_batch(batch, responses, images, batch_count=n_batch)
 
         # 4. phash dedup vs history + within-batch
         history = catalog.read(spark, "results", max_iter=committed)

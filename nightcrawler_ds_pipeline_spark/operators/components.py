@@ -379,7 +379,7 @@ def dedup_connected_components(spark, sf_dir):
 
 # --- reuse: phash near-dup pairs → image dup groups (rows-only; binary
 # codec upstream has no SQL twin — pytest pins a planted-cluster case) -------
-def image_phash_groups(spark, sf_dir):
+def image_phash_groups(spark, sf_dir, pairs: DataFrame | None = None):
     from nightcrawler_ds_pipeline_spark.operators.multimodal import (
         image_phash_neardup,
     )
@@ -387,8 +387,11 @@ def image_phash_groups(spark, sf_dir):
     # nodes=None: every endpoint of a pair is labeled by the CC fixpoint
     # itself, and materializing a separate node frame would re-run the
     # whole binary decode+phash lineage a second time (only the edge set
-    # is checkpointed inside connected_components)
-    pairs = image_phash_neardup(spark, sf_dir)
+    # is checkpointed inside connected_components). ``pairs`` lets the
+    # image_phash_suite composite pass an already-checkpointed near-dup
+    # edge frame so the banded self-join is not executed a second time.
+    if pairs is None:
+        pairs = image_phash_neardup(spark, sf_dir)
     cc = connected_components(pairs.select("id_a", "id_b"))
     return (
         cc.select(

@@ -303,13 +303,18 @@ def image_phash_suite(spark, sf_dir):
         F.col("keep_id").alias("k2"),
         F.col("group_size").cast("long").alias("n"),
     )
-    near = image_phash_neardup(spark, sf_dir).select(
+    # compute the banded near-dup join ONCE: a lazy per-call localCheckpoint
+    # (fresh per invocation — no cross-run reuse) is materialized by the CC
+    # fingerprint action and then re-read by the neardup leg, instead of
+    # executing the 28-combo self-join + distinct twice per run
+    pairs = image_phash_neardup(spark, sf_dir).localCheckpoint(eager=False)
+    near = pairs.select(
         F.lit("neardup").alias("part"),
         F.col("id_a").alias("k1"),
         F.col("id_b").alias("k2"),
         F.col("hamming").cast("long").alias("n"),
     )
-    groups = image_phash_groups(spark, sf_dir).select(
+    groups = image_phash_groups(spark, sf_dir, pairs=pairs).select(
         F.lit("groups").alias("part"),
         F.col("image_id").alias("k1"),
         F.col("group_id").alias("k2"),
