@@ -544,52 +544,73 @@ def run_crawl(
         meta = {"iter": it}
         batch.count()  # materialize the cached dequeue before fan-out
 
-        # one-pass metrics aggregate (vs one action per counter); also
-        # materializes the deduped cache that results/frontier both read
-        mrow = deduped.agg(
-            F.count("*").alias("n_results"),
-            F.sum(
-                F.when(F.col("decode_ok") & ~F.col("is_phash_dup"), 1).otherwise(0)
-            ).alias("n_new_images"),
-            F.sum(
-                F.when(F.col("error") | ~F.col("decode_ok"), 1).otherwise(0)
-            ).alias("n_errors"),
-        ).collect()[0]
-        n_results = int(mrow["n_results"])
-        n_new_images = int(mrow["n_new_images"] or 0)
-        n_errors = int(mrow["n_errors"] or 0)
-        metrics = spark.createDataFrame(
-            [
-                (it, "dequeued", n_batch, None),
-                (it, "results", n_results, None),
-                (it, "new_unique_images", n_new_images, None),
-                (it, "errors", n_errors, None),
-            ],
-            schema=schemas.METRICS,
-        )
-
-        writes: list[tuple] = [
-            (new_buckets, "politeness", "overwrite", meta),
-            (results, "results", "append", meta),
-            (new_seen, "seen", "append", meta),
-            (next_frontier, "frontier", "overwrite", meta),
-            (metrics, "metrics", "append", meta),
-        ]
-        if use_sketch:
-            sk_meta = dict(meta)
-            if cfg.sketch == "cuckoo":
-                # the maintenance TTL travels with the snapshot: a resume
-                # under a different ttl_iters must rebuild (see the
-                # freshness check at the top of the loop)
-                sk_meta["ttl_iters"] = cfg.ttl_iters
-            writes.append((merged_sketch, sketch_table, "overwrite", sk_meta))
-
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=4) as pool:
+            # EARLY writes — depend only on the just-materialized batch /
+            # gated caches, so they overlap the metrics aggregate below
+            # (which runs the whole fetch+decode chain)
             futures = [
-                pool.submit(catalog.write, df, table, mode=mode, meta=m)
-                for df, table, mode, m in writes
+                pool.submit(
+                    catalog.write, new_buckets, "politeness",
+                    mode="overwrite", meta=meta,
+                ),
+                pool.submit(
+                    catalog.write, new_seen, "seen", mode="append", meta=meta
+                ),
+            ]
+            if use_sketch:
+                sk_meta = dict(meta)
+                if cfg.sketch == "cuckoo":
+                    # the maintenance TTL travels with the snapshot: a
+                    # resume under a different ttl_iters must rebuild (see
+                    # the freshness check at the top of the loop)
+                    sk_meta["ttl_iters"] = cfg.ttl_iters
+                futures.append(
+                    pool.submit(
+                        catalog.write, merged_sketch, sketch_table,
+                        mode="overwrite", meta=sk_meta,
+                    )
+                )
+
+            # one-pass metrics aggregate (vs one action per counter); also
+            # materializes the deduped cache that results/frontier read —
+            # it must run BEFORE those writes are submitted (two concurrent
+            # consumers of a not-yet-materialized cache would both compute)
+            mrow = deduped.agg(
+                F.count("*").alias("n_results"),
+                F.sum(
+                    F.when(
+                        F.col("decode_ok") & ~F.col("is_phash_dup"), 1
+                    ).otherwise(0)
+                ).alias("n_new_images"),
+                F.sum(
+                    F.when(F.col("error") | ~F.col("decode_ok"), 1).otherwise(0)
+                ).alias("n_errors"),
+            ).collect()[0]
+            n_results = int(mrow["n_results"])
+            n_new_images = int(mrow["n_new_images"] or 0)
+            n_errors = int(mrow["n_errors"] or 0)
+            metrics = spark.createDataFrame(
+                [
+                    (it, "dequeued", n_batch, None),
+                    (it, "results", n_results, None),
+                    (it, "new_unique_images", n_new_images, None),
+                    (it, "errors", n_errors, None),
+                ],
+                schema=schemas.METRICS,
+            )
+            futures += [
+                pool.submit(
+                    catalog.write, results, "results", mode="append", meta=meta
+                ),
+                pool.submit(
+                    catalog.write, next_frontier, "frontier",
+                    mode="overwrite", meta=meta,
+                ),
+                pool.submit(
+                    catalog.write, metrics, "metrics", mode="append", meta=meta
+                ),
             ]
             for f in futures:
                 f.result()  # surface any write error BEFORE the commit point
