@@ -60,7 +60,8 @@ def fetch_batch(
     # rows and broadcasts, so the dequeued rows never shuffle at all.
     # Unknown or over-threshold batch sizes keep the AQE-sized shuffle join
     # — a forced broadcast of an unbounded dequeue would OOM at 10^10.
-    if batch_count is not None and batch_count <= BROADCAST_BATCH_MAX:
+    small_batch = batch_count is not None and batch_count <= BROADCAST_BATCH_MAX
+    if small_batch:
         resp = resp.join(
             F.broadcast(batch.select("url").distinct()), "url", "left_semi"
         )
@@ -87,12 +88,28 @@ def fetch_batch(
     #   batch keys (small) --broadcast semi-join--> images scan (narrow)
     #   → decode (bytes cross Arrow once) → tiny (image_id, w, h, phash)
     #   result joins back to the batch.
-    keys = joined.select("image_id").filter(F.col("image_id").isNotNull()).distinct()
+    # the needed image ids: in the small-batch branch resp is already
+    # reduced to ≤|batch| rows, so derive them from resp directly — the
+    # batch⋈resp subtree is then executed once, not re-run for the key set
+    # (an image_id is non-null in `joined` exactly where resp matched)
+    keys_src = resp if small_batch else joined
+    keys = (
+        keys_src.select(
+            F.when(
+                F.col("main_image_url").startswith("img://"),
+                F.substring(F.col("main_image_url"), 7, 1_000),
+            ).alias("image_id")
+        )
+        .filter(F.col("image_id").isNotNull())
+        .distinct()
+    )
     needed = images.join(F.broadcast(keys), "image_id", "left_semi")
-    decoded = decode_images(needed.select("image_id", "bytes"))
+    # fmt/caption ride THROUGH the decode pass (mapInPandas passes every
+    # non-bytes column along) instead of a second images join afterwards —
+    # one broadcast build + one join fewer per crawl iteration
+    decoded = decode_images(needed.select("image_id", "bytes", "fmt", "caption"))
 
-    meta = images.select("image_id", "fmt", "caption")
-    dec_meta = decoded.join(meta, "image_id", "left").select(
+    dec_meta = decoded.select(
         "image_id",
         F.col("w_decoded").alias("w"),
         F.col("h_decoded").alias("h"),

@@ -276,8 +276,9 @@ def run_crawl(
 
         # 1. not-seen filter (sketch pre-pass via the map-side
         # co-partitioned probe — sketches never visit the driver; exact
-        # anti-join decider). Cached: candidates feed BOTH the dequeue and
-        # the remaining-frontier rewrite.
+        # anti-join decider). Not cached: its only consumer is `gated`,
+        # which is itself cached — a second cache layer here was one extra
+        # memory-write pass per iteration (r6).
         candidates = filter_unseen(
             spark,
             frontier,
@@ -285,7 +286,7 @@ def run_crawl(
             sketch,
             num_partitions=cfg.bloom_partitions,
             sketch=cfg.sketch,
-        ).cache()
+        )
 
         # 2. robots gate ONCE (dequeue, remaining-frontier rewrite and
         # bucket accounting all reuse it), then the token-bucket dequeue —
@@ -334,7 +335,6 @@ def run_crawl(
                 batch.unpersist()
                 pre_batch.unpersist()
                 gated.unpersist()
-                candidates.unpersist()
                 if sketch_cached is not None:
                     sketch_cached.unpersist()
                 break
@@ -391,7 +391,6 @@ def run_crawl(
             batch.unpersist()
             pre_batch.unpersist()
             gated.unpersist()
-            candidates.unpersist()
             if sketch_cached is not None:
                 sketch_cached.unpersist()
             continue
@@ -650,7 +649,6 @@ def run_crawl(
         pre_batch.unpersist()
         deduped.unpersist()
         gated.unpersist()
-        candidates.unpersist()
         if sketch_cached is not None:
             sketch_cached.unpersist()
 
