@@ -63,6 +63,17 @@ from nightcrawler_ds_pipeline_spark.operators.dedup import (
 # distributed star fixpoint runs, as it must at 10^8+ edges.
 LOCAL_EDGES_MAX = 4_000_000
 
+# Byte ceiling for the collected edge frame when ids are STRINGS (URLs,
+# image ids). The row-count gate's "≈64 MB" arithmetic assumes fixed-width
+# int64 ids; a string cell costs its characters PLUS ~56 B of Python/pandas
+# object overhead, so a 4M-edge URL graph (~80-char ids) is >1 GB of driver
+# memory. The estimate (total chars + 2×56 B per edge) comes from the same
+# aggregate that fingerprints the edge set — no extra job — and graphs over
+# the ceiling run the distributed fixpoint instead. Integral ids are
+# bounded by LOCAL_EDGES_MAX alone.
+LOCAL_EDGE_BYTES_MAX = 512 * 1024 * 1024
+_STRING_CELL_OVERHEAD = 56
+
 
 def _local_components(pdf) -> "pandas.DataFrame":  # noqa: F821
     """Min-id connected components over a collected two-column edge frame —
@@ -118,15 +129,28 @@ def _local_components(pdf) -> "pandas.DataFrame":  # noqa: F821
     return pd.DataFrame({"node": ids_sorted, "component": ids_sorted[par]})
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+def _edge_fingerprint(
+    edges: DataFrame, with_chars: bool = False
+) -> tuple[int, int] | tuple[int, int, int]:
     """(count, order-independent checksum) of an edge set — the convergence
-    probe. Two scalars cross the driver per round, never rows."""
-    row = edges.agg(
+    probe. Two scalars cross the driver per round, never rows. With
+    ``with_chars`` (string-id gate, first call only) the same action also
+    returns total id characters for the collect-footprint estimate."""
+    aggs = [
         F.count("*").alias("n"),
         F.coalesce(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
         ).alias("h"),
-    ).collect()[0]
+    ]
+    if with_chars:
+        aggs.append(
+            F.coalesce(
+                F.sum((F.length("u") + F.length("v")).cast("long")), F.lit(0)
+            ).alias("c")
+        )
+    row = edges.agg(*aggs).collect()[0]
+    if with_chars:
+        return int(row["n"]), int(row["h"]), int(row["c"])
     return int(row["n"]), int(row["h"])
 
 
@@ -180,6 +204,7 @@ def connected_components(
     verify: bool = True,
     stats: dict | None = None,
     local_edges_max: int | None = LOCAL_EDGES_MAX,
+    local_edge_bytes_max: int | None = LOCAL_EDGE_BYTES_MAX,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id of its component.
 
@@ -233,11 +258,27 @@ def connected_components(
         # eager-checkpoint job followed by a fingerprint job — at toy
         # edge counts the fixpoint is pure job latency and this halves it
         e = e.localCheckpoint(eager=False)
-        n, h = _edge_fingerprint(e)
+        # string ids: the same fingerprint action also measures total id
+        # chars, so the local gate can bound the COLLECTED footprint, not
+        # just the row count (module constant docstring)
+        from pyspark.sql import types as T
+
+        id_is_string = isinstance(e.schema["u"].dataType, T.StringType)
+        gate_bytes = bool(local_edges_max) and id_is_string and bool(
+            local_edge_bytes_max
+        )
+        if gate_bytes:
+            n, h, chars = _edge_fingerprint(e, with_chars=True)
+        else:
+            n, h = _edge_fingerprint(e)
         if stats is not None:
             stats["edges_sec"] = round(_time.time() - _t0, 2)
         _t0 = _time.time()
         local = bool(local_edges_max) and 0 < n <= local_edges_max
+        if local and gate_bytes:
+            local = (
+                chars + 2 * _STRING_CELL_OVERHEAD * n <= local_edge_bytes_max
+            )
         label_pdf = None
         if local:
             # bounded by the exact count above; the checkpoint the

@@ -74,6 +74,19 @@ def _minhash_sql_cols(num_hashes: int = NUM_MINHASHES) -> str:
     )
 
 
+def _check_banding(num_hashes: int, band_size: int) -> None:
+    """Fail loudly on ragged banding: range(num_hashes // band_size) would
+    silently DROP the trailing hashes — weaker banding than requested, with
+    identical truncation on the Spark and DuckDB sides (so no oracle desync,
+    just a silent semantic surprise). Same rule CurationConfig enforces."""
+    if num_hashes <= 0 or band_size <= 0 or num_hashes % band_size:
+        raise ValueError(
+            "minhash banding: num_hashes must be a positive multiple of "
+            f"band_size (got {num_hashes}/{band_size}); trailing hashes "
+            "would be silently dropped"
+        )
+
+
 def minhash_pairs_sql(
     source: str,
     num_hashes: int = NUM_MINHASHES,
@@ -85,6 +98,7 @@ def minhash_pairs_sql(
     the SQL side — dedup / connected-components / curation oracles all
     compose this fragment, so a constant change cannot silently desync
     one of them."""
+    _check_banding(num_hashes, band_size)
     band_union = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
         f"concat({', '.join(f'h{b * band_size + j}' for j in range(band_size))})"
@@ -146,6 +160,7 @@ def _band_rows_df(
     """(doc_id, text) → (doc_id, band_id, band_key) — one row per document
     per band. The single Spark-side banding definition; both the clique-pair
     and star-edge formulations below derive from it."""
+    _check_banding(num_hashes, band_size)
     sig = minhash_signatures_df(docs, num_hashes)
     band_exprs = [
         F.struct(
